@@ -1,0 +1,198 @@
+"""Negacyclic NTT/iNTT over RNS limbs, built for TPU vector units.
+
+Formulation: a gather-free Stockham-style radix-2 decimation-in-frequency
+transform.  Every stage is a contiguous split + butterfly + restack, so XLA
+lowers it to pure VPU work with no scatter/gather; the same jnp body runs
+unchanged inside Pallas kernels.
+
+  forward:  twist x_j *= psi^j, then cyclic DIF-FFT stages.
+            Output bin b holds m(psi^(2*bitrev(b)+1))  ("frequency domain",
+            bit-reversed evaluation order — pointwise ops and automorphism
+            permutations all operate consistently in this order).
+  inverse:  reversed stages, then untwist by psi^(-j) * N^(-1).
+
+All residues are in the Montgomery domain (see core/modops.py); twiddle
+tables are pre-converted so every butterfly costs one mont_mul + add/sub.
+
+Replaces the CUDA NTT of the reference's PhantomFHE fork (SURVEY.md N1).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from .primes import Prime
+
+__all__ = ["NttContext", "bitrev_indices", "automorphism_perm", "coeff_automorphism_np"]
+
+
+def _pow_table(base: int, count: int, p: int) -> np.ndarray:
+    """[base^0, base^1, ..., base^(count-1)] mod p as uint64 (vectorized)."""
+    j = np.arange(count, dtype=np.uint64)
+    out = np.ones(count, dtype=np.uint64)
+    sq = base % p
+    bit = 0
+    while (1 << bit) < count:
+        mask = (j >> np.uint64(bit)) & np.uint64(1)
+        out = np.where(mask == 1, out * sq % p, out)
+        sq = sq * sq % p
+        bit += 1
+    return out
+
+
+def bitrev_indices(n: int) -> np.ndarray:
+    """Bit-reversal permutation of range(n)."""
+    logn = n.bit_length() - 1
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int64)
+    for b in range(logn):
+        rev |= ((idx >> b) & 1) << (logn - 1 - b)
+    return rev
+
+
+@functools.lru_cache(maxsize=None)
+def _eval_exponents(n: int) -> np.ndarray:
+    """e(b): output bin b holds the evaluation of m at psi^e(b), e odd mod 2n."""
+    return (2 * bitrev_indices(n) + 1) % (2 * n)
+
+
+def automorphism_perm(n: int, g: int) -> np.ndarray:
+    """Permutation perm s.t. NTT(m(X^g))[b] = NTT(m)[perm[b]].
+
+    m(X^g) evaluated at psi^e equals m evaluated at psi^(e*g), so bin b of
+    the transformed poly must fetch the bin whose exponent is e(b)*g mod 2n.
+    Mirrors the Galois-element machinery of the reference
+    (scripts/bootstrap_generation.py:18-33, gpu/phantom_binding.cu:124-126).
+    """
+    e = _eval_exponents(n)
+    target = (e * g) % (2 * n)
+    # bin with exponent t sits at position bitrev((t-1)/2)
+    rev = bitrev_indices(n)
+    return rev[(target - 1) // 2]
+
+
+def coeff_automorphism_np(a: np.ndarray, g: int) -> np.ndarray:
+    """m(X) -> m(X^g) in coefficient form (host-side, used in keygen).
+
+    X^(j*g) = (-1)^(floor(j*g/n)) * X^(j*g mod n) in the negacyclic ring.
+    `a` has shape [..., n] of int64/uint64 residues mod p (caller reduces).
+    """
+    n = a.shape[-1]
+    j = np.arange(n, dtype=np.int64)
+    jg = j * g
+    dest = jg % n
+    sign = 1 - 2 * ((jg // n) % 2)  # +1 or -1
+    out = np.zeros_like(a)
+    # scatter: coefficient j of a lands (signed) at position dest[j]
+    out[..., dest] = a[..., j] * sign
+    return out
+
+
+@dataclass(frozen=True)
+class NttContext:
+    """Device-resident tables for a fixed (N, primes) pair.
+
+    Data layout convention throughout the framework: residue tensors have
+    shape [..., L, N] (limb axis second-to-last), uint32 Montgomery domain.
+    """
+
+    n: int
+    logn: int
+    primes: tuple[Prime, ...]
+    p: jnp.ndarray            # [L, 1] uint32
+    pinv: jnp.ndarray         # [L, 1] uint32
+    r2: jnp.ndarray           # [L, 1] uint32 (R^2 mod p)
+    psi: jnp.ndarray          # [L, N] twist psi^j        (Montgomery form)
+    psi_inv_n: jnp.ndarray    # [L, N] psi^(-j) * n^(-1)  (Montgomery form)
+    fwd_tw: tuple = field(repr=False)   # stage s: [L, 1, n >> (s+1)]
+    inv_tw: tuple = field(repr=False)
+
+    @classmethod
+    def build(cls, n: int, primes: tuple[Prime, ...]) -> "NttContext":
+        logn = n.bit_length() - 1
+        assert 1 << logn == n
+        L = len(primes)
+        p_np = np.array([q.p for q in primes], dtype=np.uint64)
+        r_np = np.array([q.mont_r for q in primes], dtype=np.uint64)
+
+        psi_rows, psiinv_rows = [], []
+        fwd_stage_rows = [[] for _ in range(logn)]
+        inv_stage_rows = [[] for _ in range(logn)]
+        for q in primes:
+            psi = q.root
+            omega = psi * psi % q.p
+            psi_t = _pow_table(psi, n, q.p)
+            psi_rows.append(psi_t * q.mont_r % q.p)
+            ninv = pow(n, -1, q.p)
+            psi_inv_t = _pow_table(pow(psi, -1, q.p), n, q.p)
+            psiinv_rows.append(psi_inv_t * ninv % q.p * q.mont_r % q.p)
+            w_t = _pow_table(omega, n // 2, q.p) * q.mont_r % q.p
+            winv_t = _pow_table(pow(omega, -1, q.p), n // 2, q.p) * q.mont_r % q.p
+            for s in range(logn):
+                half = n >> (s + 1)
+                fwd_stage_rows[s].append(w_t[:: 1 << s][:half])
+                inv_stage_rows[s].append(winv_t[:: 1 << s][:half])
+
+        u32 = lambda x: jnp.asarray(np.asarray(x, dtype=np.uint32))
+        return cls(
+            n=n,
+            logn=logn,
+            primes=primes,
+            p=u32(p_np[:, None]),
+            pinv=u32(np.array([q.mont_pinv for q in primes], dtype=np.uint64)[:, None]),
+            r2=u32(np.array([q.mont_r2 for q in primes], dtype=np.uint64)[:, None]),
+            psi=u32(np.stack(psi_rows)),
+            psi_inv_n=u32(np.stack(psiinv_rows)),
+            fwd_tw=tuple(u32(np.stack(rows)[:, None, :]) for rows in fwd_stage_rows),
+            inv_tw=tuple(u32(np.stack(rows)[:, None, :]) for rows in inv_stage_rows),
+        )
+
+    # -- transforms (pure jnp; usable under jit / inside Pallas bodies) ----
+
+    def ntt(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Forward negacyclic NTT.  x: [..., L, N] Mont -> [..., L, N] Mont."""
+        from .modops import mont_mul, add_mod, sub_mod
+
+        lead = x.shape[:-2]
+        L, n = x.shape[-2:]
+        p3, pinv3 = self.p[:, :, None], self.pinv[:, :, None]
+        x = mont_mul(x, self.psi, self.p, self.pinv)
+        x = x.reshape(lead + (L, 1, n))
+        for s in range(self.logn):
+            half = n >> (s + 1)
+            lo, hi = x[..., :half], x[..., half:]
+            u = add_mod(lo, hi, p3)
+            v = mont_mul(sub_mod(lo, hi, p3), self.fwd_tw[s], p3, pinv3)
+            x = jnp.stack([u, v], axis=-2).reshape(lead + (L, 2 << s, half))
+        return x.reshape(lead + (L, n))
+
+    def intt(self, y: jnp.ndarray) -> jnp.ndarray:
+        """Inverse negacyclic NTT.  y: [..., L, N] Mont -> [..., L, N] Mont."""
+        from .modops import mont_mul, add_mod, sub_mod
+
+        lead = y.shape[:-2]
+        L, n = y.shape[-2:]
+        p3, pinv3 = self.p[:, :, None], self.pinv[:, :, None]
+        x = y.reshape(lead + (L, n, 1))
+        for s in range(self.logn - 1, -1, -1):
+            half = n >> (s + 1)
+            x = x.reshape(lead + (L, 1 << s, 2, half))
+            u, v = x[..., 0, :], x[..., 1, :]
+            t = mont_mul(v, self.inv_tw[s], p3, pinv3)
+            x = jnp.concatenate([add_mod(u, t, p3), sub_mod(u, t, p3)], axis=-1)
+        x = x.reshape(lead + (L, n))
+        return mont_mul(x, self.psi_inv_n, self.p, self.pinv)
+
+    def to_mont(self, x: jnp.ndarray) -> jnp.ndarray:
+        from .modops import mont_mul
+
+        return mont_mul(x, self.r2, self.p, self.pinv)
+
+    def from_mont(self, x: jnp.ndarray) -> jnp.ndarray:
+        from .modops import mont_reduce_wide
+
+        return mont_reduce_wide(jnp.zeros_like(x), x, self.p, self.pinv)
