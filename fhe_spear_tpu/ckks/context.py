@@ -1,0 +1,593 @@
+"""CKKS context: parameters, keys, and all homomorphic operations.
+
+TPU-native re-design of the reference's CKKS engine (PhantomFHE CUDA fork +
+pybind11 surface, /root/reference/gpu/phantom_binding.cu, and the three
+Python context wrappers of SURVEY.md C1).  Differences driven by the
+hardware:
+
+  * Device word is uint32 (TPU VPU has 32-bit lanes, no 64-bit multiply),
+    so RNS limbs are ~28-bit primes with a ~2^28 scale instead of the
+    reference's 40-60-bit primes at 2^40.  Depth budgets count limbs.
+  * Every residue tensor is [.., limb, N] in NTT domain + Montgomery form;
+    ops are pure jnp functions jitted with the context static, so the same
+    code runs on CPU (tests), single TPU chip, and under shard_map over a
+    mesh (limb axis = natural sharding axis).
+  * Keyswitching is GHS/hybrid with single-limb digits and K special
+    primes: the same key tensor works at every level (digit j only touches
+    limb j), decomposition is a batched Barrett re-reduction, and the whole
+    digit * key contraction is one fused multiply-accumulate over the digit
+    axis.
+  * Decryption never needs multiprecision CRT: the message magnitude is
+    kept below q0/2 (the 31-bit headroom prime), so limb 0 of c0 + c1*s
+    alone determines the value exactly.
+
+Key identities (decrypt = c0 + c1*s):
+  symmetric encrypt:  c1 = a (uniform),  c0 = -a*s + m + e
+  keyswitch digit j:  ksk_j = (-a_j*s + e_j + P*g_j*s', a_j) over Q*P,
+      where g_j is the CRT basis element of q_j: per-limb it is just
+      delta_{ij} * (P mod q_j), so key limbs for specials hold no message.
+  switched ct adds (sum_j D_j * ksk_j) / P  with D_j the centered
+      re-reductions of the source polynomial's limb-j coefficients.
+
+Montgomery form bookkeeping: ciphertexts/plaintexts are Mont-form (x*R).
+Keyswitch keys are stored in R^2 form so that mont_mul(plain_digit, key)
+lands back in Mont form with no extra conversion; scalar constants that
+multiply Mont values (P^-1, q_l^-1) are stored in Mont form (c*R).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.primes import find_ntt_primes, Prime
+from ..core.ntt import NttContext, automorphism_perm
+from ..core.modops import (
+    mont_mul,
+    add_mod,
+    sub_mod,
+    neg_mod,
+    cond_sub,
+    barrett_reduce,
+)
+from .encoding import SlotEncoder
+from .ciphertext import Ciphertext, Plaintext
+
+__all__ = ["CkksParams", "CkksContext", "KeySwitchKey"]
+
+
+@dataclass(frozen=True)
+class CkksParams:
+    """CKKS parameter preset.
+
+    n:            ring dimension (power of two; n/2 complex slots).
+    num_limbs:    total scale limbs L (q0 plus L-1 rescale primes);
+                  fresh ciphertexts start at level L.  Plays the role of
+                  the reference's L0 (scripts/bootstrap_generation.py:65).
+    num_special:  K special (keyswitch) primes, the reference's P
+                  (README.md:60-61) — here any K works at any L.
+    scale_bits:   log2 of the default scale (rescale primes sit near it).
+    """
+
+    n: int
+    num_limbs: int
+    num_special: int = 1
+    scale_bits: int = 28
+    first_bits: int = 31
+    noise_sigma: float = 3.2
+
+    @property
+    def scale(self) -> float:
+        return float(2.0 ** self.scale_bits)
+
+
+class KeySwitchKey:
+    """b, a: [L, L+K, N] uint32, NTT domain, R^2 form (digit, limb, coeff)."""
+
+    def __init__(self, b: jnp.ndarray, a: jnp.ndarray):
+        self.b = b
+        self.a = a
+
+
+class CkksContext:
+    """Keys + tables + homomorphic ops for one parameter set.
+
+    Mirrors the API surface of the reference's context wrappers
+    (fhe_common.py:83-216, scripts/bootstrap_generation.py:61-154):
+    encrypt / encrypt_replicated / encrypt_replicated_complex /
+    decrypt_vec / decrypt_vec_complex / decrypt_slot0, plus the op set of
+    the pybind11 binding (add / sub / negate / multiply / multiply_plain /
+    relinearize / rescale_to_next / mod_switch_to_next / rotate /
+    conjugate / hoisted rotations).
+    """
+
+    def __init__(self, params: CkksParams, seed: int = 0):
+        self.params = params
+        self.n = params.n
+        self.slots = params.n // 2
+        self.L = params.num_limbs
+        self.K = params.num_special
+        self.scale = params.scale
+        self.primes: tuple[Prime, ...] = find_ntt_primes(
+            params.n, params.num_limbs, params.scale_bits, params.first_bits,
+            params.num_special,
+        )
+        self.ntt = NttContext.build(params.n, self.primes)
+        self.encoder = SlotEncoder(params.n)
+        self.rng = np.random.default_rng(seed)
+
+        LK = self.L + self.K
+        q = np.array([pr.p for pr in self.primes], dtype=np.uint64)
+        self.q_np = q
+        P = 1
+        for pr in self.primes[self.L:]:
+            P *= pr.p
+        self.P_int = P
+
+        u32 = lambda x: jnp.asarray(np.asarray(x, dtype=np.uint32))
+        r_of = lambda i: self.primes[i].mont_r
+
+        # Barrett magic per prime: floor(2^32 / p)
+        self.mu = u32(((1 << 32) // q)[:, None])
+        # centered-extension tables: q_s mod q_t and (q_s+1)//2
+        qmod = np.zeros((LK, LK), dtype=np.uint64)
+        for s in range(LK):
+            qmod[s] = q[s] % q
+        self.q_mod = u32(qmod[:, :, None])            # [S, T, 1]
+        self.q_half = u32(((q + 1) // 2)[:, None, None])  # [S, 1, 1]
+
+        # keyswitch mod-down constants
+        self.Pinv_mont = u32(
+            [pow(P % int(q[i]), -1, int(q[i])) * r_of(i) % int(q[i])
+             for i in range(self.L)]
+        )[:, None]
+        self.Pmod_mont = u32(
+            [P % int(q[j]) * r_of(j) % int(q[j]) for j in range(self.L)]
+        )[:, None]
+        if self.K > 1:
+            phat = [P // int(q[self.L + k]) for k in range(self.K)]
+            self.phat_inv_mont = u32(
+                [pow(phat[k] % int(q[self.L + k]), -1, int(q[self.L + k]))
+                 * r_of(self.L + k) % int(q[self.L + k])
+                 for k in range(self.K)]
+            )[:, None]
+            self.phat_mod_mont = u32(
+                [[phat[k] % int(q[i]) * r_of(i) % int(q[i])
+                  for i in range(self.L)] for k in range(self.K)]
+            )[:, :, None]
+
+        # rescale constants: (q_l^-1 mod q_i) * R, lower-triangular [L, L]
+        qlinv = np.zeros((self.L, self.L), dtype=np.uint64)
+        for l in range(1, self.L):
+            for i in range(l):
+                qlinv[l, i] = pow(int(q[l]), -1, int(q[i])) * r_of(i) % int(q[i])
+        self._qlinv = qlinv
+
+        # --- keys ---
+        self._sk_coeff = self.rng.integers(-1, 2, size=self.n).astype(np.int64)
+        self.s_eval = self._to_eval_mont(self._sk_coeff, tuple(range(LK)))
+        self.relin_key: KeySwitchKey = self._make_ksk(
+            mont_mul(self.s_eval, self.s_eval, self.ntt.p, self.ntt.pinv))
+        self.galois_keys: dict[int, KeySwitchKey] = {}
+
+    # ------------------------------------------------------------------
+    # small host/device helpers
+    # ------------------------------------------------------------------
+
+    def _reduce_rows(self, coeffs: np.ndarray, rows) -> np.ndarray:
+        """Centered int64 coefficients [..., N] -> uint32 residues [..., R, N]."""
+        q = self.q_np[list(rows)].astype(np.int64)
+        out = coeffs[..., None, :] % q[:, None]
+        return out.astype(np.uint32)
+
+    def _to_eval_mont(self, coeffs: np.ndarray, rows: tuple) -> jnp.ndarray:
+        """Centered integer coefficients -> device eval/Mont tensor [R, N]."""
+        res = jnp.asarray(self._reduce_rows(coeffs, rows))
+        return self._j_to_eval_mont(rows)(res)
+
+    @functools.lru_cache(maxsize=None)
+    def _j_to_eval_mont(self, rows):
+        return jax.jit(lambda x: self.ntt.to_mont(self.ntt.ntt(x, rows), rows))
+
+    def _uniform(self, shape_rows, rows) -> np.ndarray:
+        """Uniform residues mod q_rows, shape [..., R, N] (R = len(rows))."""
+        q = self.q_np[list(rows)]
+        return self.rng.integers(
+            0, q[:, None], size=shape_rows + (len(rows), self.n)
+        ).astype(np.uint32)
+
+    def _gauss(self, shape=()) -> np.ndarray:
+        return np.round(
+            self.rng.normal(0.0, self.params.noise_sigma, shape + (self.n,))
+        ).astype(np.int64)
+
+    def targets(self, l: int) -> tuple:
+        """Active limb rows during keyswitch at level l: scale limbs + specials."""
+        return tuple(range(l)) + tuple(range(self.L, self.L + self.K))
+
+    # ------------------------------------------------------------------
+    # key generation
+    # ------------------------------------------------------------------
+
+    def _make_ksk(self, sprime_eval: jnp.ndarray) -> KeySwitchKey:
+        """Keyswitch key for s' -> s.  sprime_eval: [L+K, N] eval/Mont."""
+        LK = self.L + self.K
+        all_rows = tuple(range(LK))
+        a = jnp.asarray(self._uniform((self.L,), all_rows))  # Mont-form by fiat
+        e = jnp.asarray(self._reduce_rows(self._gauss((self.L,)), all_rows))
+        return self._j_make_ksk(a, e, sprime_eval)
+
+    @functools.cached_property
+    def _j_make_ksk(self):
+        LK = self.L + self.K
+        all_rows = tuple(range(LK))
+
+        def build(a, e, sprime_eval):
+            ntt = self.ntt
+            e_ev = ntt.to_mont(ntt.ntt(e, all_rows), all_rows)
+            b = add_mod(
+                neg_mod(mont_mul(a, self.s_eval, ntt.p, ntt.pinv), ntt.p),
+                e_ev, ntt.p)
+            # digit-j message: (P mod q_j) * s' in limb j only
+            msg = mont_mul(sprime_eval[: self.L], self.Pmod_mont,
+                           ntt.p[: self.L], ntt.pinv[: self.L])
+            idx = jnp.arange(self.L)
+            b = b.at[idx, idx].set(
+                add_mod(b[idx, idx], msg,
+                        ntt.p[: self.L, 0][:, None],))
+            # store in R^2 form
+            return (ntt.to_mont(b, all_rows), ntt.to_mont(a, all_rows))
+
+        jb = jax.jit(build)
+        def make(a, e, sp):
+            b2, a2 = jb(a, e, sp)
+            return KeySwitchKey(b2, a2)
+        return make
+
+    def galois_element(self, steps: int) -> int:
+        """Galois element for a cyclic slot rotation by `steps` (left).
+
+        Mirrors compute_rotation_galois_elements of the reference
+        (scripts/bootstrap_generation.py:18-33): 5^steps mod 2N; the
+        conjugation element is 2N-1.
+        """
+        return pow(5, steps % (self.n // 2), 2 * self.n)
+
+    CONJ = "conj"
+
+    def ensure_galois(self, steps_list, conj: bool = False) -> None:
+        """Generate (once) the rotation keys for the given step set."""
+        gs = [self.galois_element(s) for s in steps_list]
+        if conj:
+            gs.append(2 * self.n - 1)
+        for g in gs:
+            if g in self.galois_keys or g == 1:
+                continue
+            perm = automorphism_perm(self.n, g)
+            sp = jnp.take(self.s_eval, jnp.asarray(perm), axis=-1)
+            self.galois_keys[g] = self._make_ksk(sp)
+
+    # ------------------------------------------------------------------
+    # encode / encrypt / decrypt
+    # ------------------------------------------------------------------
+
+    def encode(self, vec, level: int | None = None, scale: float | None = None
+               ) -> Plaintext:
+        """Encode complex/real slots into an NTT-domain plaintext."""
+        level = self.L if level is None else level
+        scale = self.scale if scale is None else scale
+        coeffs = self.encoder.encode(np.asarray(vec), scale)
+        rows = tuple(range(level))
+        return Plaintext(self._to_eval_mont(coeffs, rows), scale)
+
+    def encrypt(self, vec, level: int | None = None, scale: float | None = None
+                ) -> Ciphertext:
+        """Symmetric encryption (the reference encrypts symmetrically too,
+        scripts/bootstrap_generation.py:122-133)."""
+        level = self.L if level is None else level
+        scale = self.scale if scale is None else scale
+        coeffs = self.encoder.encode(np.asarray(vec), scale)
+        rows = tuple(range(level))
+        m = jnp.asarray(self._reduce_rows(coeffs, rows))
+        a = jnp.asarray(self._uniform((), rows))
+        e = jnp.asarray(self._reduce_rows(self._gauss(), rows))
+        return Ciphertext(self._j_encrypt(rows)(m, a, e), scale)
+
+    @functools.lru_cache(maxsize=None)
+    def _j_encrypt(self, rows):
+        def enc(m, a, e):
+            ntt = self.ntt
+            p, pinv = _sel(ntt.p, rows), _sel(ntt.pinv, rows)
+            me = ntt.to_mont(ntt.ntt(add_mod(m, jnp.zeros_like(m), p), rows), rows)
+            ee = ntt.to_mont(ntt.ntt(e, rows), rows)
+            c0 = add_mod(
+                add_mod(neg_mod(mont_mul(a, _sel(self.s_eval, rows), p, pinv), p),
+                        me, p), ee, p)
+            return jnp.stack([c0, a])
+        return jax.jit(enc)
+
+    def encrypt_replicated(self, x, level=None, scale=None) -> Ciphertext:
+        """Encrypt x tiled across all slots (fhe_common.py / ckks.encrypt_replicated)."""
+        x = np.asarray(x)
+        reps = self.slots // x.shape[-1]
+        return self.encrypt(np.tile(x, reps), level, scale)
+
+    def encrypt_replicated_complex(self, z, level=None, scale=None) -> Ciphertext:
+        z = np.asarray(z, dtype=np.complex128)
+        reps = self.slots // z.shape[-1]
+        return self.encrypt(np.tile(z, reps), level, scale)
+
+    def decrypt_to_coeffs(self, ct: Ciphertext) -> np.ndarray:
+        """Decrypt to centered integer coefficients (exact while |v| < q0/2)."""
+        limb0 = np.asarray(self._j_dec(ct.level)(ct.c))[0]
+        q0 = int(self.q_np[0])
+        c = limb0.astype(np.int64)
+        c[c > q0 // 2] -= q0
+        return c
+
+    @functools.lru_cache(maxsize=None)
+    def _j_dec(self, level):
+        def dec(c):
+            ntt = self.ntt
+            p, pinv = ntt.p[:1], ntt.pinv[:1]
+            v = add_mod(c[0, :1], mont_mul(c[1, :1], self.s_eval[:1], p, pinv), p)
+            return ntt.from_mont(ntt.intt(v, (0,)), (0,))
+        return jax.jit(dec)
+
+    def decrypt_vec_complex(self, ct: Ciphertext, length: int | None = None
+                            ) -> np.ndarray:
+        z = self.encoder.decode(self.decrypt_to_coeffs(ct), ct.scale)
+        return z if length is None else z[:length]
+
+    def decrypt_vec(self, ct: Ciphertext, length: int | None = None) -> np.ndarray:
+        return self.decrypt_vec_complex(ct, length).real
+
+    def decrypt_slot0(self, ct: Ciphertext) -> float:
+        return float(self.decrypt_vec_complex(ct, 1)[0].real)
+
+    # ------------------------------------------------------------------
+    # arithmetic (thin wrappers around cached jitted kernels)
+    # ------------------------------------------------------------------
+
+    def _p(self, l):
+        return self.ntt.p[:l], self.ntt.pinv[:l]
+
+    def add(self, x: Ciphertext, y: Ciphertext) -> Ciphertext:
+        assert x.level == y.level and _close(x.scale, y.scale), (x.scale, y.scale)
+        return Ciphertext(self._j_add(x.level)(x.c, y.c), x.scale)
+
+    @functools.lru_cache(maxsize=None)
+    def _j_add(self, l):
+        return jax.jit(lambda a, b: add_mod(a, b, self.ntt.p[:l]))
+
+    def sub(self, x: Ciphertext, y: Ciphertext) -> Ciphertext:
+        assert x.level == y.level and _close(x.scale, y.scale)
+        return Ciphertext(self._j_sub(x.level)(x.c, y.c), x.scale)
+
+    @functools.lru_cache(maxsize=None)
+    def _j_sub(self, l):
+        return jax.jit(lambda a, b: sub_mod(a, b, self.ntt.p[:l]))
+
+    def negate(self, x: Ciphertext) -> Ciphertext:
+        return Ciphertext(self._j_neg(x.level)(x.c), x.scale)
+
+    @functools.lru_cache(maxsize=None)
+    def _j_neg(self, l):
+        return jax.jit(lambda a: neg_mod(a, self.ntt.p[:l]))
+
+    def add_plain(self, x: Ciphertext, pt: Plaintext) -> Ciphertext:
+        assert _close(x.scale, pt.scale) and x.level == pt.level
+        return Ciphertext(self._j_addp(x.level)(x.c, pt.p), x.scale)
+
+    @functools.lru_cache(maxsize=None)
+    def _j_addp(self, l):
+        def f(c, p):
+            return c.at[0].set(add_mod(c[0], p, self.ntt.p[:l]))
+        return jax.jit(f)
+
+    def mul_plain(self, x: Ciphertext, pt: Plaintext) -> Ciphertext:
+        assert x.level == pt.level, (x.level, pt.level)
+        return Ciphertext(self._j_mulp(x.level)(x.c, pt.p), x.scale * pt.scale)
+
+    @functools.lru_cache(maxsize=None)
+    def _j_mulp(self, l):
+        p, pinv = self._p(l)
+        return jax.jit(lambda c, q: mont_mul(c, q, p, pinv))
+
+    def multiply(self, x: Ciphertext, y: Ciphertext, relin: bool = True
+                 ) -> Ciphertext:
+        """CT x CT multiply (+ relinearize)."""
+        assert x.level == y.level
+        c = self._j_mul(x.level, relin)(x.c, y.c)
+        return Ciphertext(c, x.scale * y.scale)
+
+    @functools.lru_cache(maxsize=None)
+    def _j_mul(self, l, relin):
+        p, pinv = self._p(l)
+        rk = self.relin_key
+
+        def f(x, y):
+            d0 = mont_mul(x[0], y[0], p, pinv)
+            d1 = add_mod(mont_mul(x[0], y[1], p, pinv),
+                         mont_mul(x[1], y[0], p, pinv), p)
+            d2 = mont_mul(x[1], y[1], p, pinv)
+            if not relin:
+                return jnp.stack([d0, d1, d2])
+            D = self._decompose(d2, l)
+            ks = self._apply_ksk(D, rk, l)
+            ks = self._mod_down(ks, l)
+            return jnp.stack([add_mod(d0, ks[0], p), add_mod(d1, ks[1], p)])
+        return jax.jit(f)
+
+    def square(self, x: Ciphertext) -> Ciphertext:
+        return self.multiply(x, x)
+
+    def rescale(self, x: Ciphertext) -> Ciphertext:
+        l = x.level
+        assert l >= 2, "cannot rescale at level 1"
+        return Ciphertext(self._j_rescale(l)(x.c),
+                          x.scale / float(self.q_np[l - 1]))
+
+    @functools.lru_cache(maxsize=None)
+    def _j_rescale(self, l):
+        ntt = self.ntt
+        rows = tuple(range(l - 1))
+        qlinv = jnp.asarray(self._qlinv[l - 1, : l - 1, None].astype(np.uint32))
+        p, pinv = self._p(l - 1)
+
+        def f(c):
+            last = ntt.from_mont(ntt.intt(c[:, l - 1:], (l - 1,)), (l - 1,))
+            u = self._extend_centered(last, (l - 1,), rows)[..., 0, :, :]
+            u = ntt.to_mont(ntt.ntt(u, rows), rows)
+            return mont_mul(sub_mod(c[:, : l - 1], u, p), qlinv, p, pinv)
+        return jax.jit(f)
+
+    def mod_drop(self, x: Ciphertext, levels: int = 1) -> Ciphertext:
+        """CKKS mod_switch_to_next^levels: drop trailing limb rows (exact)."""
+        assert x.level - levels >= 1
+        return Ciphertext(x.c[:, : x.level - levels], x.scale)
+
+    def mod_switch_to(self, x: Ciphertext, level: int) -> Ciphertext:
+        assert level <= x.level
+        return self.mod_drop(x, x.level - level) if level < x.level else x
+
+    def set_scale(self, x: Ciphertext, scale: float) -> Ciphertext:
+        return Ciphertext(x.c, float(scale))
+
+    # ------------------------------------------------------------------
+    # keyswitch internals (called inside jitted kernels)
+    # ------------------------------------------------------------------
+
+    def _extend_centered(self, coeffs: jnp.ndarray, src_rows: tuple,
+                         tgt_rows: tuple) -> jnp.ndarray:
+        """Plain coefficients [..., S, N] (row s mod q_src[s]) ->
+        [..., S, T, N]: centered lift re-reduced modulo each target prime."""
+        src = np.asarray(src_rows, dtype=np.int32)
+        tgt = np.asarray(tgt_rows, dtype=np.int32)
+        c = coeffs[..., :, None, :]
+        p_t = self.ntt.p[tgt][None, :, :]          # [1, T, 1]
+        mu_t = self.mu[tgt][None, :, :]
+        r = barrett_reduce(c, p_t, mu_t)
+        fix = p_t - self.q_mod[src][:, tgt]        # [S, T, 1], in (0, p_t]
+        r_neg = cond_sub(r + fix, p_t)
+        return jnp.where(c >= self.q_half[src], r_neg, r)
+
+    def _decompose(self, c1: jnp.ndarray, l: int) -> jnp.ndarray:
+        """[l, N] Mont eval -> extended digits [l, T, N], plain, eval."""
+        ntt = self.ntt
+        rows = tuple(range(l))
+        tgt = self.targets(l)
+        coeffs = ntt.from_mont(ntt.intt(c1, rows), rows)
+        D = self._extend_centered(coeffs, rows, tgt)
+        return ntt.ntt(D, tgt)
+
+    def _apply_ksk(self, D: jnp.ndarray, ksk: KeySwitchKey, l: int
+                   ) -> jnp.ndarray:
+        """sum_j D_j * ksk_j over digits -> [2, T, N] Mont eval."""
+        tgt = np.asarray(self.targets(l), dtype=np.int32)
+        p_t, pinv_t = self.ntt.p[tgt], self.ntt.pinv[tgt]
+        b = ksk.b[:l][:, tgt]
+        a = ksk.a[:l][:, tgt]
+        pb = mont_mul(D, b, p_t, pinv_t)
+        pa = mont_mul(D, a, p_t, pinv_t)
+        ks0, ks1 = pb[0], pa[0]
+        for j in range(1, l):
+            ks0 = add_mod(ks0, pb[j], p_t)
+            ks1 = add_mod(ks1, pa[j], p_t)
+        return jnp.stack([ks0, ks1])
+
+    def _mod_down(self, ks: jnp.ndarray, l: int) -> jnp.ndarray:
+        """[2, l+K, N] Mont eval over Q_l*P -> [2, l, N] Mont eval over Q_l
+        (divide by P, fast base conversion)."""
+        ntt = self.ntt
+        rows = tuple(range(l))
+        sp_rows = tuple(range(self.L, self.L + self.K))
+        p, pinv = self._p(l)
+        t = ntt.from_mont(ntt.intt(ks[:, l:], sp_rows), sp_rows)  # [2, K, N]
+        if self.K > 1:
+            t = mont_mul(t, self.phat_inv_mont,
+                         _sel(ntt.p, sp_rows), _sel(ntt.pinv, sp_rows))
+            r = barrett_reduce(t[..., :, None, :], _sel(ntt.p, rows)[None],
+                               _sel(self.mu, rows)[None])       # [2, K, l, N]
+            r = mont_mul(r, self.phat_mod_mont[:, :l], _sel(ntt.p, rows),
+                         _sel(ntt.pinv, rows))
+            u = r[:, 0]
+            for k in range(1, self.K):
+                u = add_mod(u, r[:, k], p)
+        else:
+            u = barrett_reduce(t[:, 0][..., None, :], _sel(ntt.p, rows),
+                               _sel(self.mu, rows))              # [2, l, N]
+        u = ntt.to_mont(ntt.ntt(u, rows), rows)
+        return mont_mul(sub_mod(ks[:, :l], u, p), self.Pinv_mont[:l], p, pinv)
+
+    # ------------------------------------------------------------------
+    # rotations
+    # ------------------------------------------------------------------
+
+    def rotate(self, x: Ciphertext, steps: int) -> Ciphertext:
+        """Cyclic slot rotation by `steps` (slot j <- slot j+steps)."""
+        if steps % self.slots == 0:
+            return x
+        g = self.galois_element(steps)
+        assert g in self.galois_keys, f"missing galois key for step {steps}"
+        return Ciphertext(self._j_rotate(x.level, g)(x.c), x.scale)
+
+    def conjugate(self, x: Ciphertext) -> Ciphertext:
+        g = 2 * self.n - 1
+        assert g in self.galois_keys, "missing conjugation key"
+        return Ciphertext(self._j_rotate(x.level, g)(x.c), x.scale)
+
+    @functools.lru_cache(maxsize=None)
+    def _j_rotate(self, l, g):
+        perm = jnp.asarray(automorphism_perm(self.n, g))
+        ksk = self.galois_keys[g]
+        p, _ = self._p(l)
+
+        def f(c):
+            cp = jnp.take(c, perm, axis=-1)
+            D = self._decompose(cp[1], l)
+            ks = self._mod_down(self._apply_ksk(D, ksk, l), l)
+            return jnp.stack([add_mod(cp[0], ks[0], p), ks[1]])
+        return jax.jit(f)
+
+    def hoisted_rotations(self, x: Ciphertext, steps: tuple) -> list[Ciphertext]:
+        """Rotate one ciphertext by many steps, sharing the digit
+        decomposition (the reference's `hoisting`,
+        gpu/phantom_binding.cu:196-205).  Step 0 passes through."""
+        steps = tuple(steps)
+        cs = self._j_hoisted(x.level, steps)(x.c)
+        return [Ciphertext(c, x.scale) for c in cs]
+
+    @functools.lru_cache(maxsize=None)
+    def _j_hoisted(self, l, steps):
+        gs = [self.galois_element(s) for s in steps]
+        perms = {g: jnp.asarray(automorphism_perm(self.n, g)) for g in gs}
+        p, _ = self._p(l)
+
+        def f(c):
+            D = self._decompose(c[1], l)
+            outs = []
+            for s, g in zip(steps, gs):
+                if s % self.slots == 0:
+                    outs.append(c)
+                    continue
+                Dg = jnp.take(D, perms[g], axis=-1)
+                ks = self._mod_down(self._apply_ksk(Dg, self.galois_keys[g], l), l)
+                c0 = add_mod(jnp.take(c[0], perms[g], axis=-1), ks[0], p)
+                outs.append(jnp.stack([c0, ks[1]]))
+            return outs
+        return jax.jit(f)
+
+
+def _close(a: float, b: float, rtol: float = 1e-6) -> bool:
+    return abs(a - b) <= rtol * max(abs(a), abs(b))
+
+
+def _sel(arr, rows):
+    """Static row-subset selection (jnp arrays reject list/tuple indices)."""
+    return arr[np.asarray(rows, dtype=np.int32)]

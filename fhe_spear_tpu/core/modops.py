@@ -89,3 +89,15 @@ def mont_mul(a, b, p, pinv):
     lo = a * b  # wrapping uint32 multiply = exact low word
     hi = mul_hi_u32(a, b)
     return mont_reduce_wide(hi, lo, p, pinv)
+
+
+def barrett_reduce(x, p, mu):
+    """x mod p for arbitrary uint32 x, p < 2^31, mu = floor(2^32 / p).
+
+    Division-free (mul-hi based) so it vectorizes on the TPU VPU; used by
+    keyswitch digit extension where a coefficient mod q_j is re-reduced
+    modulo every other prime in the basis.
+    """
+    q = mul_hi_u32(x, mu)
+    r = x - q * p  # wrapping; true remainder in [0, 2p)
+    return cond_sub(r, p)

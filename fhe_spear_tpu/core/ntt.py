@@ -92,12 +92,17 @@ def coeff_automorphism_np(a: np.ndarray, g: int) -> np.ndarray:
     return out
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class NttContext:
     """Device-resident tables for a fixed (N, primes) pair.
 
     Data layout convention throughout the framework: residue tensors have
     shape [..., L, N] (limb axis second-to-last), uint32 Montgomery domain.
+
+    eq=False gives identity hashing, so a context can be passed as a static
+    argument to jax.jit (eager dispatch is far too slow for per-op use; all
+    composite ops are jitted with the context closed over as constants).
+    `rows` arguments must be hashable (tuple or None) for the same reason.
     """
 
     n: int
@@ -152,47 +157,62 @@ class NttContext:
         )
 
     # -- transforms (pure jnp; usable under jit / inside Pallas bodies) ----
+    #
+    # `rows`: optional static sequence of limb indices selecting which prime
+    # domains the [..., R, N] limb axis lives in (default: all primes in
+    # order).  Used by keyswitch base extension, where one source polynomial
+    # is transformed into many different limb domains.
 
-    def ntt(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Forward negacyclic NTT.  x: [..., L, N] Mont -> [..., L, N] Mont."""
+    def _sel(self, table: jnp.ndarray, rows) -> jnp.ndarray:
+        if rows is None:
+            return table
+        return table[jnp.asarray(np.asarray(rows, dtype=np.int32))]
+
+    def ntt(self, x: jnp.ndarray, rows=None) -> jnp.ndarray:
+        """Forward negacyclic NTT.  x: [..., R, N] Mont -> [..., R, N] Mont."""
         from .modops import mont_mul, add_mod, sub_mod
 
         lead = x.shape[:-2]
-        L, n = x.shape[-2:]
-        p3, pinv3 = self.p[:, :, None], self.pinv[:, :, None]
-        x = mont_mul(x, self.psi, self.p, self.pinv)
-        x = x.reshape(lead + (L, 1, n))
+        R, n = x.shape[-2:]
+        p, pinv = self._sel(self.p, rows), self._sel(self.pinv, rows)
+        p3, pinv3 = p[:, :, None], pinv[:, :, None]
+        x = mont_mul(x, self._sel(self.psi, rows), p, pinv)
+        x = x.reshape(lead + (R, 1, n))
         for s in range(self.logn):
             half = n >> (s + 1)
             lo, hi = x[..., :half], x[..., half:]
             u = add_mod(lo, hi, p3)
-            v = mont_mul(sub_mod(lo, hi, p3), self.fwd_tw[s], p3, pinv3)
-            x = jnp.stack([u, v], axis=-2).reshape(lead + (L, 2 << s, half))
-        return x.reshape(lead + (L, n))
+            tw = self._sel(self.fwd_tw[s], rows)
+            v = mont_mul(sub_mod(lo, hi, p3), tw, p3, pinv3)
+            x = jnp.stack([u, v], axis=-2).reshape(lead + (R, 2 << s, half))
+        return x.reshape(lead + (R, n))
 
-    def intt(self, y: jnp.ndarray) -> jnp.ndarray:
-        """Inverse negacyclic NTT.  y: [..., L, N] Mont -> [..., L, N] Mont."""
+    def intt(self, y: jnp.ndarray, rows=None) -> jnp.ndarray:
+        """Inverse negacyclic NTT.  y: [..., R, N] Mont -> [..., R, N] Mont."""
         from .modops import mont_mul, add_mod, sub_mod
 
         lead = y.shape[:-2]
-        L, n = y.shape[-2:]
-        p3, pinv3 = self.p[:, :, None], self.pinv[:, :, None]
-        x = y.reshape(lead + (L, n, 1))
+        R, n = y.shape[-2:]
+        p, pinv = self._sel(self.p, rows), self._sel(self.pinv, rows)
+        p3, pinv3 = p[:, :, None], pinv[:, :, None]
+        x = y.reshape(lead + (R, n, 1))
         for s in range(self.logn - 1, -1, -1):
             half = n >> (s + 1)
-            x = x.reshape(lead + (L, 1 << s, 2, half))
+            x = x.reshape(lead + (R, 1 << s, 2, half))
             u, v = x[..., 0, :], x[..., 1, :]
-            t = mont_mul(v, self.inv_tw[s], p3, pinv3)
+            t = mont_mul(v, self._sel(self.inv_tw[s], rows), p3, pinv3)
             x = jnp.concatenate([add_mod(u, t, p3), sub_mod(u, t, p3)], axis=-1)
-        x = x.reshape(lead + (L, n))
-        return mont_mul(x, self.psi_inv_n, self.p, self.pinv)
+        x = x.reshape(lead + (R, n))
+        return mont_mul(x, self._sel(self.psi_inv_n, rows), p, pinv)
 
-    def to_mont(self, x: jnp.ndarray) -> jnp.ndarray:
+    def to_mont(self, x: jnp.ndarray, rows=None) -> jnp.ndarray:
         from .modops import mont_mul
 
-        return mont_mul(x, self.r2, self.p, self.pinv)
+        return mont_mul(x, self._sel(self.r2, rows), self._sel(self.p, rows),
+                        self._sel(self.pinv, rows))
 
-    def from_mont(self, x: jnp.ndarray) -> jnp.ndarray:
+    def from_mont(self, x: jnp.ndarray, rows=None) -> jnp.ndarray:
         from .modops import mont_reduce_wide
 
-        return mont_reduce_wide(jnp.zeros_like(x), x, self.p, self.pinv)
+        return mont_reduce_wide(jnp.zeros_like(x), x, self._sel(self.p, rows),
+                                self._sel(self.pinv, rows))

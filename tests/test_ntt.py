@@ -8,6 +8,21 @@ import pytest
 from fhe_spear_tpu.core.primes import find_ntt_primes
 from fhe_spear_tpu.core.ntt import NttContext, automorphism_perm, coeff_automorphism_np
 from fhe_spear_tpu.core.modops import mont_mul
+import functools
+import jax
+
+# eager dispatch is extremely slow in this environment — jit everything,
+# with the context as a static (identity-hashed) argument
+_roundtrip = functools.partial(jax.jit, static_argnums=0)(
+    lambda ctx, x: ctx.from_mont(ctx.intt(ctx.ntt(ctx.to_mont(x)))))
+_fwd = functools.partial(jax.jit, static_argnums=0)(
+    lambda ctx, x: ctx.from_mont(ctx.ntt(ctx.to_mont(x))))
+_polymul = functools.partial(jax.jit, static_argnums=0)(
+    lambda ctx, a, b: ctx.from_mont(ctx.intt(
+        mont_mul(ctx.ntt(ctx.to_mont(a)), ctx.ntt(ctx.to_mont(b)), ctx.p, ctx.pinv))))
+_auto = functools.partial(jax.jit, static_argnums=(0, 2))(
+    lambda ctx, x, perm: ctx.from_mont(ctx.intt(
+        jnp.take(ctx.ntt(ctx.to_mont(x)), jnp.asarray(perm), axis=-1))))
 
 
 def make_ctx(n, L):
@@ -21,8 +36,7 @@ def test_roundtrip(n):
     rng = np.random.default_rng(0)
     p_np = np.array([q.p for q in ctx.primes], dtype=np.uint64)
     x = rng.integers(0, p_np[:, None], size=(3, n)).astype(np.uint32)
-    xm = ctx.to_mont(jnp.asarray(x))
-    back = np.asarray(ctx.from_mont(ctx.intt(ctx.ntt(xm))))
+    back = np.asarray(_roundtrip(ctx, jnp.asarray(x)))
     np.testing.assert_array_equal(back, x)
 
 
@@ -42,10 +56,9 @@ def test_negacyclic_polymul(n):
             else:
                 ref[k - n] -= a[i] * b[j]
     for li, q in enumerate(ctx.primes):
-        am = ctx.to_mont(jnp.asarray(np.tile(a % q.p, (len(ctx.primes), 1)).astype(np.uint32)))
-        bm = ctx.to_mont(jnp.asarray(np.tile(b % q.p, (len(ctx.primes), 1)).astype(np.uint32)))
-        prod = mont_mul(ctx.ntt(am), ctx.ntt(bm), ctx.p, ctx.pinv)
-        got = np.asarray(ctx.from_mont(ctx.intt(prod)))[li]
+        am = jnp.asarray(np.tile(a % q.p, (len(ctx.primes), 1)).astype(np.uint32))
+        bm = jnp.asarray(np.tile(b % q.p, (len(ctx.primes), 1)).astype(np.uint32))
+        got = np.asarray(_polymul(ctx, am, bm))[li]
         np.testing.assert_array_equal(got, ref % q.p)
 
 
@@ -56,8 +69,7 @@ def test_eval_order():
     q = ctx.primes[0]
     rng = np.random.default_rng(2)
     a = rng.integers(0, q.p, size=n).astype(np.uint64)
-    am = ctx.to_mont(jnp.asarray(a[None, :].astype(np.uint32)))
-    got = np.asarray(ctx.from_mont(ctx.ntt(am)))[0]
+    got = np.asarray(_fwd(ctx, jnp.asarray(a[None, :].astype(np.uint32))))[0]
     from fhe_spear_tpu.core.ntt import _eval_exponents
 
     e = _eval_exponents(n)
@@ -78,7 +90,6 @@ def test_automorphism(g):
     a = rng.integers(0, p_np[:, None], size=(2, n))
     # coefficient-domain automorphism (signed), reduced per limb
     ag = coeff_automorphism_np(a, g) % p_np[:, None]
-    am = ctx.to_mont(jnp.asarray(a.astype(np.uint32)))
-    perm = automorphism_perm(n, g)
-    got = ctx.from_mont(ctx.intt(jnp.take(ctx.ntt(am), jnp.asarray(perm), axis=-1)))
+    perm = tuple(automorphism_perm(n, g).tolist())
+    got = _auto(ctx, jnp.asarray(a.astype(np.uint32)), perm)
     np.testing.assert_array_equal(np.asarray(got), ag.astype(np.uint32))
