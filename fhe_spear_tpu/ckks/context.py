@@ -293,9 +293,10 @@ class CkksContext:
         scale = self.scale if scale is None else scale
         coeffs = self.encoder.encode(np.asarray(vec), scale)
         rows = tuple(range(level))
+        lead = coeffs.shape[:-1]
         m = jnp.asarray(self._reduce_rows(coeffs, rows))
-        a = jnp.asarray(self._uniform((), rows))
-        e = jnp.asarray(self._reduce_rows(self._gauss(), rows))
+        a = jnp.asarray(self._uniform(lead, rows))
+        e = jnp.asarray(self._reduce_rows(self._gauss(lead), rows))
         return Ciphertext(self._j_encrypt(rows)(m, a, e), scale)
 
     @functools.lru_cache(maxsize=None)
@@ -308,7 +309,7 @@ class CkksContext:
             c0 = add_mod(
                 add_mod(neg_mod(mont_mul(a, _sel(self.s_eval, rows), p, pinv), p),
                         me, p), ee, p)
-            return jnp.stack([c0, a])
+            return jnp.stack([c0, a], axis=-3)
         return jax.jit(enc)
 
     def encrypt_replicated(self, x, level=None, scale=None) -> Ciphertext:
@@ -323,20 +324,43 @@ class CkksContext:
         return self.encrypt(np.tile(z, reps), level, scale)
 
     def decrypt_to_coeffs(self, ct: Ciphertext) -> np.ndarray:
-        """Decrypt to centered integer coefficients (exact while |v| < q0/2)."""
-        limb0 = np.asarray(self._j_dec(ct.level)(ct.c))[0]
+        """Decrypt to centered integer coefficients.
+
+        Uses the first min(2, level) limbs only: with one limb the value is
+        exact while |v| < q0/2 (headroom ~8x the scale); at level >= 2 a
+        two-limb uint64 CRT raises headroom to q0*q1/2 (~2^30 x the scale),
+        enough for any RWKV activation or logit magnitude.  No
+        multiprecision arithmetic is ever needed.
+        """
+        nl = min(2, ct.level)
+        limbs = np.asarray(self._j_dec_cached(ct.level, nl)(ct.c)).astype(np.uint64)
         q0 = int(self.q_np[0])
-        c = limb0.astype(np.int64)
-        c[c > q0 // 2] -= q0
-        return c
+        if nl == 1:
+            c = limbs[..., 0, :].astype(np.int64)
+            c[c > q0 // 2] -= q0
+            return c.astype(np.float64)
+        q1 = int(self.q_np[1])
+        t0, t1 = limbs[..., 0, :], limbs[..., 1, :]
+        q0inv = np.uint64(pow(q0, -1, q1))
+        d = (t1 + np.uint64(q1) - t0 % np.uint64(q1)) % np.uint64(q1)
+        m1 = d * q0inv % np.uint64(q1)
+        v = t0 + np.uint64(q0) * m1          # exact: < q0*q1 < 2^62
+        big = q0 * q1
+        out = v.astype(np.float64)
+        out[v > big // 2] -= float(big)
+        return out
 
     @functools.lru_cache(maxsize=None)
-    def _j_dec(self, level):
+    def _j_dec_cached(self, level, nl):
+        rows = tuple(range(nl))
+
         def dec(c):
             ntt = self.ntt
-            p, pinv = ntt.p[:1], ntt.pinv[:1]
-            v = add_mod(c[0, :1], mont_mul(c[1, :1], self.s_eval[:1], p, pinv), p)
-            return ntt.from_mont(ntt.intt(v, (0,)), (0,))
+            p, pinv = ntt.p[:nl], ntt.pinv[:nl]
+            v = add_mod(c[..., 0, :nl, :],
+                        mont_mul(c[..., 1, :nl, :], self.s_eval[:nl], p, pinv),
+                        p)
+            return ntt.from_mont(ntt.intt(v, rows), rows)
         return jax.jit(dec)
 
     def decrypt_vec_complex(self, ct: Ciphertext, length: int | None = None
@@ -387,7 +411,8 @@ class CkksContext:
     @functools.lru_cache(maxsize=None)
     def _j_addp(self, l):
         def f(c, p):
-            return c.at[0].set(add_mod(c[0], p, self.ntt.p[:l]))
+            c0 = add_mod(c[..., 0, :, :], p, self.ntt.p[:l])
+            return c.at[..., 0, :, :].set(c0)
         return jax.jit(f)
 
     def mul_plain(self, x: Ciphertext, pt: Plaintext) -> Ciphertext:
@@ -412,16 +437,19 @@ class CkksContext:
         rk = self.relin_key
 
         def f(x, y):
-            d0 = mont_mul(x[0], y[0], p, pinv)
-            d1 = add_mod(mont_mul(x[0], y[1], p, pinv),
-                         mont_mul(x[1], y[0], p, pinv), p)
-            d2 = mont_mul(x[1], y[1], p, pinv)
+            x0, x1 = x[..., 0, :, :], x[..., 1, :, :]
+            y0, y1 = y[..., 0, :, :], y[..., 1, :, :]
+            d0 = mont_mul(x0, y0, p, pinv)
+            d1 = add_mod(mont_mul(x0, y1, p, pinv),
+                         mont_mul(x1, y0, p, pinv), p)
+            d2 = mont_mul(x1, y1, p, pinv)
             if not relin:
-                return jnp.stack([d0, d1, d2])
+                return jnp.stack([d0, d1, d2], axis=-3)
             D = self._decompose(d2, l)
-            ks = self._apply_ksk(D, rk, l)
-            ks = self._mod_down(ks, l)
-            return jnp.stack([add_mod(d0, ks[0], p), add_mod(d1, ks[1], p)])
+            kb, ka = self.select_key(rk, l)
+            ks = self._mod_down(self._apply_ksk(D, kb, ka, l), l)
+            return jnp.stack([add_mod(d0, ks[..., 0, :, :], p),
+                              add_mod(d1, ks[..., 1, :, :], p)], axis=-3)
         return jax.jit(f)
 
     def square(self, x: Ciphertext) -> Ciphertext:
@@ -433,19 +461,20 @@ class CkksContext:
         return Ciphertext(self._j_rescale(l)(x.c),
                           x.scale / float(self.q_np[l - 1]))
 
-    @functools.lru_cache(maxsize=None)
-    def _j_rescale(self, l):
+    def _rescale_core(self, c, l):
+        """[..., l, N] Mont eval -> [..., l-1, N]: exact divide by q_{l-1}."""
         ntt = self.ntt
         rows = tuple(range(l - 1))
         qlinv = jnp.asarray(self._qlinv[l - 1, : l - 1, None].astype(np.uint32))
         p, pinv = self._p(l - 1)
+        last = ntt.from_mont(ntt.intt(c[..., l - 1:, :], (l - 1,)), (l - 1,))
+        u = self._extend_centered(last, (l - 1,), rows)[..., 0, :, :]
+        u = ntt.to_mont(ntt.ntt(u, rows), rows)
+        return mont_mul(sub_mod(c[..., : l - 1, :], u, p), qlinv, p, pinv)
 
-        def f(c):
-            last = ntt.from_mont(ntt.intt(c[:, l - 1:], (l - 1,)), (l - 1,))
-            u = self._extend_centered(last, (l - 1,), rows)[..., 0, :, :]
-            u = ntt.to_mont(ntt.ntt(u, rows), rows)
-            return mont_mul(sub_mod(c[:, : l - 1], u, p), qlinv, p, pinv)
-        return jax.jit(f)
+    @functools.lru_cache(maxsize=None)
+    def _j_rescale(self, l):
+        return jax.jit(lambda c: self._rescale_core(c, l))
 
     def mod_drop(self, x: Ciphertext, levels: int = 1) -> Ciphertext:
         """CKKS mod_switch_to_next^levels: drop trailing limb rows (exact)."""
@@ -486,20 +515,26 @@ class CkksContext:
         D = self._extend_centered(coeffs, rows, tgt)
         return ntt.ntt(D, tgt)
 
-    def _apply_ksk(self, D: jnp.ndarray, ksk: KeySwitchKey, l: int
-                   ) -> jnp.ndarray:
-        """sum_j D_j * ksk_j over digits -> [2, T, N] Mont eval."""
+    def select_key(self, ksk: KeySwitchKey, l: int):
+        """Slice a keyswitch key down to the rows active at level l."""
+        tgt = np.asarray(self.targets(l), dtype=np.int32)
+        return ksk.b[:l][:, tgt], ksk.a[:l][:, tgt]
+
+    def _apply_ksk(self, D: jnp.ndarray, b: jnp.ndarray, a: jnp.ndarray,
+                   l: int) -> jnp.ndarray:
+        """sum_j D_j * key_j over digits -> [..., 2, T, N] Mont eval.
+
+        b, a: level-selected key tensors [(...,) l, T, N] (see select_key) —
+        explicit arrays so callers can scan over stacked rotation keys."""
         tgt = np.asarray(self.targets(l), dtype=np.int32)
         p_t, pinv_t = self.ntt.p[tgt], self.ntt.pinv[tgt]
-        b = ksk.b[:l][:, tgt]
-        a = ksk.a[:l][:, tgt]
         pb = mont_mul(D, b, p_t, pinv_t)
         pa = mont_mul(D, a, p_t, pinv_t)
-        ks0, ks1 = pb[0], pa[0]
+        ks0, ks1 = pb[..., 0, :, :], pa[..., 0, :, :]
         for j in range(1, l):
-            ks0 = add_mod(ks0, pb[j], p_t)
-            ks1 = add_mod(ks1, pa[j], p_t)
-        return jnp.stack([ks0, ks1])
+            ks0 = add_mod(ks0, pb[..., j, :, :], p_t)
+            ks1 = add_mod(ks1, pa[..., j, :, :], p_t)
+        return jnp.stack([ks0, ks1], axis=-3)
 
     def _mod_down(self, ks: jnp.ndarray, l: int) -> jnp.ndarray:
         """[2, l+K, N] Mont eval over Q_l*P -> [2, l, N] Mont eval over Q_l
@@ -508,22 +543,23 @@ class CkksContext:
         rows = tuple(range(l))
         sp_rows = tuple(range(self.L, self.L + self.K))
         p, pinv = self._p(l)
-        t = ntt.from_mont(ntt.intt(ks[:, l:], sp_rows), sp_rows)  # [2, K, N]
+        t = ntt.from_mont(ntt.intt(ks[..., l:, :], sp_rows), sp_rows)  # [.., K, N]
         if self.K > 1:
             t = mont_mul(t, self.phat_inv_mont,
                          _sel(ntt.p, sp_rows), _sel(ntt.pinv, sp_rows))
             r = barrett_reduce(t[..., :, None, :], _sel(ntt.p, rows)[None],
-                               _sel(self.mu, rows)[None])       # [2, K, l, N]
+                               _sel(self.mu, rows)[None])       # [.., K, l, N]
             r = mont_mul(r, self.phat_mod_mont[:, :l], _sel(ntt.p, rows),
                          _sel(ntt.pinv, rows))
-            u = r[:, 0]
+            u = r[..., 0, :, :]
             for k in range(1, self.K):
-                u = add_mod(u, r[:, k], p)
+                u = add_mod(u, r[..., k, :, :], p)
         else:
-            u = barrett_reduce(t[:, 0][..., None, :], _sel(ntt.p, rows),
-                               _sel(self.mu, rows))              # [2, l, N]
+            u = barrett_reduce(t[..., 0:1, :], _sel(ntt.p, rows),
+                               _sel(self.mu, rows))              # [.., l, N]
         u = ntt.to_mont(ntt.ntt(u, rows), rows)
-        return mont_mul(sub_mod(ks[:, :l], u, p), self.Pinv_mont[:l], p, pinv)
+        return mont_mul(sub_mod(ks[..., :l, :], u, p), self.Pinv_mont[:l],
+                        p, pinv)
 
     # ------------------------------------------------------------------
     # rotations
@@ -550,9 +586,11 @@ class CkksContext:
 
         def f(c):
             cp = jnp.take(c, perm, axis=-1)
-            D = self._decompose(cp[1], l)
-            ks = self._mod_down(self._apply_ksk(D, ksk, l), l)
-            return jnp.stack([add_mod(cp[0], ks[0], p), ks[1]])
+            D = self._decompose(cp[..., 1, :, :], l)
+            kb, ka = self.select_key(ksk, l)
+            ks = self._mod_down(self._apply_ksk(D, kb, ka, l), l)
+            return jnp.stack([add_mod(cp[..., 0, :, :], ks[..., 0, :, :], p),
+                              ks[..., 1, :, :]], axis=-3)
         return jax.jit(f)
 
     def hoisted_rotations(self, x: Ciphertext, steps: tuple) -> list[Ciphertext]:
@@ -570,16 +608,18 @@ class CkksContext:
         p, _ = self._p(l)
 
         def f(c):
-            D = self._decompose(c[1], l)
+            D = self._decompose(c[..., 1, :, :], l)
             outs = []
             for s, g in zip(steps, gs):
                 if s % self.slots == 0:
                     outs.append(c)
                     continue
                 Dg = jnp.take(D, perms[g], axis=-1)
-                ks = self._mod_down(self._apply_ksk(Dg, self.galois_keys[g], l), l)
-                c0 = add_mod(jnp.take(c[0], perms[g], axis=-1), ks[0], p)
-                outs.append(jnp.stack([c0, ks[1]]))
+                kb, ka = self.select_key(self.galois_keys[g], l)
+                ks = self._mod_down(self._apply_ksk(Dg, kb, ka, l), l)
+                c0 = add_mod(jnp.take(c[..., 0, :, :], perms[g], axis=-1),
+                             ks[..., 0, :, :], p)
+                outs.append(jnp.stack([c0, ks[..., 1, :, :]], axis=-3))
             return outs
         return jax.jit(f)
 

@@ -1,0 +1,316 @@
+"""Client-aided RWKV-7 generation under CKKS (SURVEY.md C9/C10).
+
+Protocol (client_aided_block, /root/reference/scripts/bootstrap_generation.py
+:756-897): per block, 4 crypto round trips —
+  1. client sends Enc(xr), Enc(xk), Enc(xv); server returns Enc(W_r xr),
+     Enc(W_k xk), Enc(W_v xv)
+  2. client runs the WKV-7 recurrence + gates, sends Enc(gated);
+     server returns Enc(W_o gated)
+  3. client sends Enc(xk_ffn); server returns the F-dim FFN key projection
+     (complex-packed output chunk pairs)
+  4. client applies ReLU^2, sends complex-packed input chunk pairs;
+     server returns the conjugate-trick value projection partials.
+
+TPU-first redesign vs the reference:
+  * The three r/k/v matvecs are one *batched* BSGS call (leading batch dim
+    through a vmapped kernel) instead of three sequential ones — one
+    dispatch, 3x the arithmetic intensity, shared compilation.
+  * FFN chunk pairs are likewise batched (vmap over the pair axis with the
+    input ciphertext held constant, so baby rotations are shared exactly
+    like the reference's shared `ct_baby`).
+  * Diagonals for all blocks are pre-encoded on the host as int32
+    coefficient tensors and staged to the device per block (the reference's
+    CPU-offload pipeline, C8), with RNS expansion + NTT happening on-device
+    at load time.
+  * Client inputs are sup-norm normalized before encryption and rescaled
+    after decryption (exact for a linear server): keeps every encoded
+    magnitude ~1 regardless of activation scale.
+
+Per-projection depth: exactly 1 level, so the working level is 3 limbs —
+the same budget as the reference's A100 headline config (N=8192, L0=3,
+paper/main.tex:1065).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ckks.context import CkksContext
+from ..ckks.ciphertext import Ciphertext
+from ..ops.bsgs import BsgsMatvec, EncodedDiagonals, _load_coeffs
+from .rwkv7 import (
+    RwkvModel, RwkvState, layer_norm, token_mix, wkv7_client,
+    generate_token_plaintext,
+)
+
+__all__ = ["FheRwkvServer", "FheRwkvClient", "run_generation"]
+
+
+def _chunk_pairs(n_chunks: int):
+    """Chunk indices grouped in pairs (padded with None)."""
+    pairs = []
+    c = 0
+    while c < n_chunks:
+        pairs.append((c, c + 1 if c + 1 < n_chunks else None))
+        c += 2
+    return pairs
+
+
+class FheRwkvServer:
+    """Server side: holds pre-encoded diagonals, evaluates batched BSGS.
+
+    The server never sees a secret key; it receives/returns Ciphertexts.
+    """
+
+    def __init__(self, ctx: CkksContext, model: RwkvModel, level: int = 3):
+        self.ctx = ctx
+        self.level = level
+        d, f = model.d, model.blocks[0].f
+        self.d, self.f = d, f
+        self.eng = BsgsMatvec(ctx, d)
+        self.n_chunks = -(-f // d)
+        self.key_pairs = _chunk_pairs(self.n_chunks)
+        self.blocks_host: list[dict] = []
+        self._device: tuple[int, dict] | None = None  # (block_idx, staged)
+        t0 = time.perf_counter()
+        for blk in model.blocks:
+            self.blocks_host.append(self._pre_encode_block(blk))
+        self.preencode_time = time.perf_counter() - t0
+
+    # -- host pre-encoding (reference pre_encode_block) --------------------
+
+    def _pre_encode_block(self, blk) -> dict:
+        d, f = self.d, self.f
+        enc = self.eng.encode
+        out = {}
+        # r, k, v stacked for the batched round-1 call; o separate
+        out["rkv"] = np.stack([enc(blk.W_r.T).coeffs, enc(blk.W_k.T).coeffs,
+                               enc(blk.W_v.T).coeffs])
+        out["o"] = enc(blk.W_o.T).coeffs
+        # FFN key D->F: output chunk pairs, complex-packed
+        mats = []
+        for c0, c1 in self.key_pairs:
+            m0 = self._out_chunk(blk.W_key_ffn, c0)
+            m1 = self._out_chunk(blk.W_key_ffn, c1) if c1 is not None else 0.0
+            mats.append(enc(m0 + 1j * np.asarray(m1)).coeffs)
+        out["ffn_key"] = np.stack(mats)
+        # FFN val F->D: input chunk pairs, conjugate trick (M0 - i*M1)
+        mats = []
+        for c0, c1 in self.key_pairs:
+            m0 = self._in_chunk(blk.W_val_ffn, c0)
+            m1 = self._in_chunk(blk.W_val_ffn, c1) if c1 is not None else 0.0
+            mats.append(enc(m0 - 1j * np.asarray(m1)).coeffs)
+        out["ffn_val"] = np.stack(mats)
+        return out
+
+    def _out_chunk(self, w, c):
+        """W[:, c*D:(c+1)*D].T zero-padded to [D, D] (output chunking)."""
+        d = self.d
+        m = np.zeros((d, d))
+        cols = w[:, c * d: (c + 1) * d].T
+        m[: cols.shape[0]] = cols
+        return m
+
+    def _in_chunk(self, w, c):
+        """W[c*D:(c+1)*D, :].T zero-padded to [D, D] (input chunking)."""
+        d = self.d
+        m = np.zeros((d, d))
+        rows = w[c * d: (c + 1) * d, :].T
+        m[:, : rows.shape[1]] = rows
+        return m
+
+    # -- device staging (reference upload_block_plaintexts) ----------------
+
+    def load_block(self, i: int) -> dict:
+        if self._device is not None and self._device[0] == i:
+            return self._device[1]
+        host = self.blocks_host[i]
+        staged = {k: _load_coeffs(self.ctx, jnp.asarray(v), self.level)
+                  for k, v in host.items()}
+        self._device = (i, staged)
+        return staged
+
+    # -- projection services ----------------------------------------------
+
+    def project_rkv(self, i: int, ct3: Ciphertext) -> Ciphertext:
+        """Batched r/k/v: ct3 holds [3, 2, l, N]."""
+        return self._batched_matvec(ct3, self.load_block(i)["rkv"])
+
+    def project_o(self, i: int, ct: Ciphertext) -> Ciphertext:
+        return self.eng(ct, self.load_block(i)["o"])
+
+    def project_ffn_key(self, i: int, ct: Ciphertext) -> Ciphertext:
+        """One input ct against every output chunk pair: [P, 2, l-1, N]."""
+        pt = self.load_block(i)["ffn_key"]
+        out = self._kernel_shared(ct.level)(ct.c, pt)
+        return Ciphertext(out, self._out_scale(ct))
+
+    def project_ffn_val(self, i: int, ct_pairs: Ciphertext) -> Ciphertext:
+        """Input chunk-pair cts [P, 2, l, N] against matching diagonals."""
+        return self._batched_matvec(ct_pairs, self.load_block(i)["ffn_val"])
+
+    def _out_scale(self, ct):
+        return ct.scale * self.ctx.scale / float(self.ctx.q_np[ct.level - 1])
+
+    def _batched_matvec(self, ct: Ciphertext, pt: jnp.ndarray) -> Ciphertext:
+        out = self._kernel_batched(ct.level)(ct.c, pt)
+        return Ciphertext(out, self._out_scale(ct))
+
+    @functools.lru_cache(maxsize=None)
+    def _kernel_batched(self, l):
+        return jax.jit(jax.vmap(self.eng._kernel(l), in_axes=(0, 0)))
+
+    @functools.lru_cache(maxsize=None)
+    def _kernel_shared(self, l):
+        return jax.jit(jax.vmap(self.eng._kernel(l), in_axes=(None, 0)))
+
+
+class FheRwkvClient:
+    """Client side: all nonlinearities in plaintext, normalizes before
+    encryption, drives the 4-round-trip protocol."""
+
+    def __init__(self, ctx: CkksContext, model: RwkvModel, server: FheRwkvServer):
+        self.ctx = ctx
+        self.model = model
+        self.server = server
+        self.level = server.level
+        self.d, self.f = server.d, server.f
+
+    # normalization: encrypt x/|x|_inf, multiply result back (exact)
+    def _enc(self, xs: np.ndarray) -> tuple[Ciphertext, np.ndarray]:
+        xs = np.atleast_2d(np.asarray(xs, dtype=np.float64))
+        mag = np.maximum(np.abs(xs).max(axis=-1, keepdims=True), 1e-9)
+        tiled = np.tile(xs / mag, (1, self.ctx.slots // xs.shape[-1]))
+        ct = self.ctx.encrypt(tiled if xs.shape[0] > 1 else tiled[0],
+                              level=self.level)
+        return ct, mag
+
+    def _enc_pairs(self, x: np.ndarray) -> tuple[Ciphertext, np.ndarray]:
+        """F-dim vector -> complex chunk-pair ciphertexts [P, ...]."""
+        d = self.d
+        pads = []
+        for c0, c1 in self.server.key_pairs:
+            x0 = x[c0 * d: (c0 + 1) * d]
+            x0 = np.pad(x0, (0, d - len(x0)))
+            if c1 is not None:
+                x1 = x[c1 * d: (c1 + 1) * d]
+                x1 = np.pad(x1, (0, d - len(x1)))
+            else:
+                x1 = np.zeros(d)
+            pads.append(x0 + 1j * x1)
+        z = np.stack(pads)
+        mag = np.maximum(np.abs(z.real).max(initial=0), np.abs(z.imag).max(initial=0))
+        mag = max(mag, 1e-9)
+        tiled = np.tile(z / mag, (1, self.ctx.slots // d))
+        return self.ctx.encrypt(tiled, level=self.level), mag
+
+    def block(self, i: int, x, x_prev_att, x_prev_ffn, state, v_first):
+        """One client-aided block; mirrors the plaintext oracle exactly."""
+        blk = self.model.blocks[i]
+        ctx, srv, d = self.ctx, self.server, self.d
+        timings = {}
+
+        t0 = time.perf_counter()
+        x_ln = layer_norm(x, blk.ln1_w, blk.ln1_b)
+        mixes = token_mix(blk, x_ln, x_prev_att)
+        ct3, mag = self._enc(np.stack([mixes["r"], mixes["k"], mixes["v"]]))
+        timings["client_mix"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        ct_out = srv.project_rkv(i, ct3)
+        rkv = ctx.decrypt_vec(ct_out)[..., :d] * mag
+        r, k, v = rkv[0], rkv[1], rkv[2]
+        timings["server_rkv"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        gated, new_state, v, v_first = wkv7_client(blk, r, k, v, mixes, state,
+                                                   v_first)
+        ct_g, mag_g = self._enc(gated)
+        timings["client_wkv_gate"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        att = ctx.decrypt_vec(srv.project_o(i, ct_g))[:d] * mag_g[0, 0]
+        timings["server_wo"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        x = x + att
+        x_ffn_ln = layer_norm(x, blk.ln2_w, blk.ln2_b)
+        xk_ffn = x_ffn_ln + (x_prev_ffn - x_ffn_ln) * blk.x_k_ffn
+        ct_fk, mag_fk = self._enc(xk_ffn)
+        timings["client_ffn_prep"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        z = ctx.decrypt_vec_complex(srv.project_ffn_key(i, ct_fk)) * mag_fk[0, 0]
+        fk = np.zeros(srv.n_chunks * d)
+        for p, (c0, c1) in enumerate(srv.key_pairs):
+            fk[c0 * d: (c0 + 1) * d] = z[p, :d].real
+            if c1 is not None:
+                fk[c1 * d: (c1 + 1) * d] = z[p, :d].imag
+        fk = fk[: self.f]
+        timings["server_ffn_key"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        fk = np.maximum(fk, 0.0) ** 2
+        ct_pairs, mag_v = self._enc_pairs(fk)
+        timings["client_relu_sq"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        zv = ctx.decrypt_vec_complex(srv.project_ffn_val(i, ct_pairs)) * mag_v
+        v_ffn = np.atleast_2d(zv)[:, :d].real.sum(axis=0)
+        timings["server_ffn_val"] = time.perf_counter() - t0
+
+        x = x + v_ffn
+        return x, x_ln, x_ffn_ln, new_state, v_first, timings
+
+    def generate_token(self, token_id: int, state: RwkvState):
+        """One FHE token step (generate_token_fhe equivalent)."""
+        m = self.model
+        x = layer_norm(m.emb[token_id].copy(), m.ln0_w, m.ln0_b)
+        new = state.copy()
+        v_first = None
+        all_timings = []
+        for i in range(len(m.blocks)):
+            x, xpa, xpf, s, v_first, t = self.block(
+                i, x, state.x_prev_att[i], state.x_prev_ffn[i], state.wkv[i],
+                v_first)
+            new.x_prev_att[i], new.x_prev_ffn[i], new.wkv[i] = xpa, xpf, s
+            all_timings.append(t)
+        logits = layer_norm(x, m.ln_out_w, m.ln_out_b) @ m.head_w
+        return logits, new, all_timings
+
+
+def run_generation(ctx: CkksContext, model: RwkvModel, seed_tokens,
+                   num_tokens: int, level: int = 3, verbose: bool = True):
+    """Prefill in plaintext, then generate under FHE with a plaintext twin;
+    reports per-token match + logit correlation (the reference's
+    run_generation oracle loop, scripts/bootstrap_generation.py:1108-1247)."""
+    server = FheRwkvServer(ctx, model, level=level)
+    client = FheRwkvClient(ctx, model, server)
+
+    st_fhe, st_ref = model.zero_state(), model.zero_state()
+    for tok in seed_tokens[:-1]:
+        _, st_fhe = generate_token_plaintext(model, tok, st_fhe)
+        _, st_ref = generate_token_plaintext(model, tok, st_ref)
+
+    tok_fhe = tok_ref = seed_tokens[-1]
+    results = []
+    for step in range(num_tokens):
+        logits_ref, st_ref = generate_token_plaintext(model, tok_ref, st_ref)
+        t0 = time.perf_counter()
+        logits_fhe, st_fhe, _ = client.generate_token(tok_fhe, st_fhe)
+        dt = time.perf_counter() - t0
+        tok_ref = int(np.argmax(logits_ref))
+        tok_fhe = int(np.argmax(logits_fhe))
+        corr = float(np.corrcoef(logits_fhe, logits_ref)[0, 1])
+        results.append({"ref": tok_ref, "fhe": tok_fhe,
+                        "match": tok_ref == tok_fhe, "corr": corr, "sec": dt})
+        if verbose:
+            print(f"  token {step}: ref={tok_ref} fhe={tok_fhe} "
+                  f"match={tok_ref == tok_fhe} corr={corr:.6f} {dt:.2f}s")
+    return results

@@ -1,0 +1,213 @@
+"""BSGS diagonal-method matvec under CKKS — the framework's hot kernel.
+
+Re-designs the reference's BSGS engine (SURVEY.md C6/C7/C8;
+/root/reference/scripts/bootstrap_generation.py:29-659) TPU-first:
+
+  * Baby rotations are hoisted (one digit decomposition) and evaluated by a
+    lax.scan over a stacked [G-1, ...] tensor of rotation keys and
+    automorphism permutations — one compiled body, G-1 iterations.
+  * The G x B multiply-accumulate (the reference's fused CUDA
+    `bsgs_multiply_accumulate`) is a scan over giant groups; each step is a
+    batched Montgomery multiply [G, 2, l, N] + modular tree-reduction —
+    pure VPU work that XLA fuses, with the giant rotation keyswitch in the
+    same scan body.
+  * Diagonals are pre-encoded on the host to *coefficient-domain int32*
+    (4x smaller than RNS residues) and expanded to NTT/Montgomery residues
+    on device at block-load time — the TPU analog of the reference's
+    CPU-offloaded plaintext staging (`offload_plaintexts`/`bsgs_from_cpu`,
+    scripts/bootstrap_generation.py:336-357,449).
+  * Exactly one rescale at the end: 1 level per call, like the reference
+    (paper/main.tex:1049).
+
+Complex packing comes for free: a complex weight matrix W1 + i*W2 encodes
+into complex diagonals and one call evaluates both matrices
+(fhe_matmul_bsgs_complex, scripts/bootstrap_generation.py:488-542).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.modops import mont_mul, add_mod, barrett_reduce, sub_mod
+from ..core.ntt import automorphism_perm
+from ..ckks.context import CkksContext, _sel
+from ..ckks.ciphertext import Ciphertext
+
+__all__ = ["bsgs_dims", "BsgsMatvec", "EncodedDiagonals", "extract_diagonals"]
+
+
+def bsgs_dims(d: int) -> tuple[int, int]:
+    """(G, B): G = ceil(sqrt(D)) baby steps, B = ceil(D/G) giant groups
+    (scripts/bootstrap_generation.py:29-32)."""
+    g = math.isqrt(d)
+    if g * g < d:
+        g += 1
+    return g, (d + g - 1) // g
+
+
+def extract_diagonals(w: np.ndarray, d: int | None = None) -> np.ndarray:
+    """delta_k[j] = W[j, (j+k) % D] for k = 0..G*B-1 (zero-padded past D),
+    pre-rotated left by -(g*G) within each giant group: [B, G, D]."""
+    w = np.asarray(w)
+    d = w.shape[0] if d is None else d
+    assert w.shape == (d, d), w.shape
+    G, B = bsgs_dims(d)
+    j = np.arange(d)
+    k = np.arange(G * B)
+    diags = np.where((k < d)[:, None], w[j[None, :], (j[None, :] + k[:, None]) % d],
+                     0.0 if not np.iscomplexobj(w) else 0.0 + 0.0j)
+    diags = diags.reshape(B, G, d)
+    # pre-rotate group g by +g*G (so the giant rotation can happen after the
+    # baby-step accumulation): rot_{-gG}(delta) = np.roll(delta, +gG)
+    for g in range(1, B):
+        diags[g] = np.roll(diags[g], g * G, axis=-1)
+    return diags
+
+
+@dataclass
+class EncodedDiagonals:
+    """Host-staged pre-encoded diagonal plaintexts for one BSGS matrix.
+
+    coeffs: int32 [B, G, N] coefficient-domain encodings (signed, centered).
+    Stays in host RAM until `BsgsMatvec.load` stages it to the device.
+    """
+
+    coeffs: np.ndarray
+    scale: float
+    d: int
+
+    @property
+    def nbytes(self) -> int:
+        return self.coeffs.nbytes
+
+
+class BsgsMatvec:
+    """BSGS matvec engine for a fixed (context, D, level) configuration.
+
+    Usage:
+        eng = BsgsMatvec(ctx, d=1024)
+        enc = eng.encode(W)              # host: [B, G, N] int32
+        pt  = eng.load(enc, level)       # device: [B, G, l, N] NTT/Mont
+        y   = eng(ct_x, pt)              # level l -> l-1, slots = W @ x
+    """
+
+    def __init__(self, ctx: CkksContext, d: int):
+        assert ctx.slots % d == 0, (d, ctx.slots)
+        self.ctx = ctx
+        self.d = d
+        self.G, self.B = bsgs_dims(d)
+        self.baby_steps = tuple(range(1, self.G))
+        self.giant_steps = tuple(g * self.G for g in range(1, self.B))
+        ctx.ensure_galois(self.baby_steps + self.giant_steps)
+
+    # -- host-side diagonal pre-encoding (reference pre_encode_block) ------
+
+    def encode(self, w: np.ndarray, scale: float | None = None
+               ) -> EncodedDiagonals:
+        ctx = self.ctx
+        scale = ctx.scale if scale is None else scale
+        diags = extract_diagonals(w, self.d)                    # [B, G, D]
+        tiled = np.tile(diags, (1, 1, ctx.slots // self.d))     # [B, G, slots]
+        coeffs = ctx.encoder.encode(tiled, scale)               # int64 [B,G,N]
+        return EncodedDiagonals(coeffs.astype(np.int32), scale, self.d)
+
+    # -- device staging ----------------------------------------------------
+
+    def load(self, enc: EncodedDiagonals, level: int) -> jnp.ndarray:
+        """Stage host int32 coefficients -> device NTT/Mont residues
+        [B, G, l, N]."""
+        return _load_coeffs(self.ctx, jnp.asarray(enc.coeffs), level)
+
+    # -- the matvec kernel -------------------------------------------------
+
+    def __call__(self, ct: Ciphertext, pt: jnp.ndarray, pt_scale: float | None = None
+                 ) -> Ciphertext:
+        l = ct.level
+        assert pt.shape[-2] == l, (pt.shape, l)
+        scale = self.ctx.scale if pt_scale is None else pt_scale
+        out = self._kernel(l)(ct.c, pt)
+        return Ciphertext(out, ct.scale * scale / float(self.ctx.q_np[l - 1]))
+
+    @functools.lru_cache(maxsize=None)
+    def _kernel(self, l: int):
+        ctx = self.ctx
+        n = ctx.n
+        p, _ = ctx._p(l)
+
+        def stack_keys(steps):
+            perms = np.stack([automorphism_perm(n, ctx.galois_element(s))
+                              for s in steps]).astype(np.int32)
+            kb, ka = zip(*(ctx.select_key(
+                ctx.galois_keys[ctx.galois_element(s)], l) for s in steps))
+            return (jnp.asarray(perms), jnp.stack(kb), jnp.stack(ka))
+
+        baby_xs = stack_keys(self.baby_steps) if self.baby_steps else None
+        giant_xs = stack_keys(self.giant_steps) if self.giant_steps else None
+
+        def rotate_with(c, D1, perm, kb, ka):
+            """Rotate ct (given its hoisted digits D1) by one stacked key."""
+            Dg = jnp.take(D1, perm, axis=-1)
+            ks = ctx._mod_down(ctx._apply_ksk(Dg, kb, ka, l), l)
+            c0 = add_mod(jnp.take(c[..., 0, :, :], perm, axis=-1),
+                         ks[..., 0, :, :], p)
+            return jnp.stack([c0, ks[..., 1, :, :]], axis=-3)
+
+        def contract(babies, ptg):
+            """sum_b babies[b] * ptg[b]: [G, 2, l, N] x [G, l, N] -> [2, l, N]."""
+            prod = mont_mul(babies, ptg[:, None], p, ctx.ntt.pinv[:l])
+            while prod.shape[0] > 1:
+                m = prod.shape[0]
+                if m % 2:
+                    head, prod = prod[:1], prod[1:]
+                    prod = prod.at[0].set(add_mod(prod[0], head[0], p))
+                    m -= 1
+                prod = add_mod(prod[: m // 2], prod[m // 2:], p)
+            return prod[0]
+
+        def kernel(c, pt):
+            # hoisted baby rotations
+            D1 = ctx._decompose(c[..., 1, :, :], l)
+            if baby_xs is not None:
+                def baby_body(_, xs):
+                    return None, rotate_with(c, D1, *xs)
+                _, rot = lax.scan(baby_body, None, baby_xs)
+                babies = jnp.concatenate([c[None], rot])        # [G, 2, l, N]
+            else:
+                babies = c[None]
+            # giant group 0 (no rotation)
+            y = contract(babies, pt[0])
+            if giant_xs is not None:
+                def giant_body(y, xs):
+                    ptg, perm, kb, ka = xs
+                    acc = contract(babies, ptg)
+                    D2 = ctx._decompose(acc[..., 1, :, :], l)
+                    y = add_mod(y, rotate_with(acc, D2, perm, kb, ka), p)
+                    return y, None
+                y, _ = lax.scan(giant_body, y, (pt[1:],) + giant_xs)
+            return ctx._rescale_core(y, l)
+        return jax.jit(kernel)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _load_coeffs(ctx: CkksContext, coeffs: jnp.ndarray, level: int
+                 ) -> jnp.ndarray:
+    """Signed int32 coefficient encodings [..., N] -> NTT/Mont residues
+    [..., l, N] (device-side RNS expansion of host-staged diagonals)."""
+    rows = tuple(range(level))
+    ntt = ctx.ntt
+    p = _sel(ntt.p, rows)
+    mu = _sel(ctx.mu, rows)
+    x = coeffs.astype(jnp.uint32)[..., None, :]       # wraps negatives mod 2^32
+    r = barrett_reduce(x, p, mu)
+    # fix wrap-around: subtract 2^32 mod p where the source was negative
+    t32 = jnp.asarray((((1 << 32) % ctx.q_np[list(rows)])[:, None])
+                      .astype(np.uint32))
+    r = jnp.where(coeffs[..., None, :] < 0, sub_mod(r, t32, p), r)
+    return ntt.to_mont(ntt.ntt(r, rows), rows)
