@@ -1,0 +1,80 @@
+"""Benchmark: client-aided RWKV-7 token generation under CKKS on one chip.
+
+Reproduces the reference's headline config (D=2048, F=8192, N=8192,
+3-limb budget — paper/main.tex:1065: 79 s/token on A100 with CPU-offloaded
+pre-encoded diagonals) with random weights (seeded; FHE correctness is
+independent of weight values — test_fully_enc_bsgs.py random-weight mode).
+
+Runs BENCH_BLOCKS blocks (default 4) for BENCH_TOKENS+1 tokens (first
+token warms up compilation), measures steady-state per-block time, and
+reports the 24-block-extrapolated sec/token.  vs_baseline = 79 / value
+(speedup over the reference's A100 number; > 1 is faster).
+
+Prints exactly ONE JSON line on stdout; progress goes to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    d = int(os.environ.get("BENCH_D", "2048"))
+    f = int(os.environ.get("BENCH_F", "8192"))
+    n = int(os.environ.get("BENCH_N", "8192"))
+    num_blocks = int(os.environ.get("BENCH_BLOCKS", "4"))
+    num_tokens = int(os.environ.get("BENCH_TOKENS", "2"))
+    baseline = 79.0
+
+    import jax
+    log(f"devices: {jax.devices()}")
+
+    from fhe_spear_tpu.ckks import CkksContext, CkksParams
+    from fhe_spear_tpu.models.rwkv7 import make_random_model
+    from fhe_spear_tpu.models.client_aided import run_generation
+
+    t0 = time.perf_counter()
+    model = make_random_model(d=d, f=f, n_blocks=num_blocks, head_size=64,
+                              vocab=1000, seed=42)
+    log(f"model built ({time.perf_counter() - t0:.1f}s)")
+
+    t0 = time.perf_counter()
+    ctx = CkksContext(CkksParams(n=n, num_limbs=3, num_special=1), seed=0)
+    log(f"context + keys ({time.perf_counter() - t0:.1f}s)")
+
+    results = run_generation(ctx, model, seed_tokens=[5, 11, 2],
+                             num_tokens=num_tokens + 1, level=3, verbose=False)
+    for i, r in enumerate(results):
+        log(f"token {i}: match={r['match']} corr={r['corr']:.6f} "
+            f"{r['sec']:.2f}s")
+
+    steady = [r["sec"] for r in results[1:]]
+    per_block = float(np.mean(steady)) / num_blocks
+    sec_per_token = per_block * 24
+    all_match = all(r["match"] for r in results)
+    min_corr = min(r["corr"] for r in results)
+
+    print(json.dumps({
+        "metric": f"sec/token client-aided RWKV-7 D={d} F={f} N={n} "
+                  "(24-block extrapolated)",
+        "value": round(sec_per_token, 3),
+        "unit": "s/token",
+        "vs_baseline": round(baseline / sec_per_token, 3),
+        "detail": {
+            "per_block_s": round(per_block, 4),
+            "blocks_measured": num_blocks,
+            "tokens_match_plaintext": all_match,
+            "min_logit_corr": round(min_corr, 6),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

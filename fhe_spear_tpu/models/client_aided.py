@@ -68,7 +68,8 @@ class FheRwkvServer:
     The server never sees a secret key; it receives/returns Ciphertexts.
     """
 
-    def __init__(self, ctx: CkksContext, model: RwkvModel, level: int = 3):
+    def __init__(self, ctx: CkksContext, model: RwkvModel, level: int = 3,
+                 max_cached_blocks: int | None = None):
         self.ctx = ctx
         self.level = level
         d, f = model.d, model.blocks[0].f
@@ -77,7 +78,12 @@ class FheRwkvServer:
         self.n_chunks = -(-f // d)
         self.key_pairs = _chunk_pairs(self.n_chunks)
         self.blocks_host: list[dict] = []
-        self._device: tuple[int, dict] | None = None  # (block_idx, staged)
+        # device-side staging cache (the reference streams per block from
+        # pinned CPU memory, C8; we keep as many staged blocks resident in
+        # HBM as allowed and restage the rest per use)
+        self.max_cached_blocks = (len(model.blocks) if max_cached_blocks is None
+                                  else max_cached_blocks)
+        self._device: dict[int, dict] = {}
         t0 = time.perf_counter()
         for blk in model.blocks:
             self.blocks_host.append(self._pre_encode_block(blk))
@@ -128,12 +134,16 @@ class FheRwkvServer:
     # -- device staging (reference upload_block_plaintexts) ----------------
 
     def load_block(self, i: int) -> dict:
-        if self._device is not None and self._device[0] == i:
-            return self._device[1]
+        if i in self._device:
+            return self._device[i]
+        if len(self._device) >= self.max_cached_blocks:
+            # evict the staged block furthest in the past (blocks are used
+            # cyclically, so FIFO == LRU here)
+            self._device.pop(next(iter(self._device)))
         host = self.blocks_host[i]
         staged = {k: _load_coeffs(self.ctx, jnp.asarray(v), self.level)
                   for k, v in host.items()}
-        self._device = (i, staged)
+        self._device[i] = staged
         return staged
 
     # -- projection services ----------------------------------------------

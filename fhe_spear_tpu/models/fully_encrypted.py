@@ -1,0 +1,186 @@
+"""Fully-encrypted FFN inference: no intermediate decryption (SURVEY.md C11,
+/root/reference/test_fully_enc_bsgs.py).
+
+Per block (plaintext oracle: x + (x @ W_key)^2 @ W_val, exactly 3 levels):
+  1. key projection D->F: ceil(F/D) real BSGS chunk matvecs, baby rotations
+     shared — here one vmapped kernel with the input held constant  [1 level]
+  2. CT-CT square per chunk (one batched multiply+relin+rescale)    [1 level]
+  3. value projection F->D: per-chunk BSGS batched over chunks,
+     partials summed level-aligned                                  [1 level]
+  4. residual: mod-switch x down 3 limbs + set_scale + add          [0 levels]
+
+Magnitude control: per-block constant alpha/|fv|_inf folded into W_val
+from one calibration input (test_fully_enc_bsgs.py:182-196) keeps every
+intermediate near unit magnitude through arbitrarily many blocks.
+
+Bootstrap integration: run_fully_encrypted refreshes the ciphertext when
+fewer than 4 limbs remain, via a caller-provided bootstrap function
+(ckks/bootstrap when available).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ckks.context import CkksContext
+from ..ckks.ciphertext import Ciphertext
+from ..ops.bsgs import BsgsMatvec, _load_coeffs
+from ..core.modops import add_mod
+
+__all__ = ["FullyEncryptedFfn", "calibrate_magnitude", "run_fully_encrypted",
+           "plaintext_ffn_block"]
+
+
+def plaintext_ffn_block(x, w_key, w_val):
+    return x + (x @ w_key) ** 2 @ w_val
+
+
+def calibrate_magnitude(w_keys, w_vals, x_cal, target_mag=1.0):
+    """Two-stage magnitude control from one calibration pass.
+
+    The reference folds target/|fv|_inf into W_val alone
+    (test_fully_enc_bsgs.py:182-196); with 59-bit primes that constant
+    (often ~1e4) fits, but a 28-bit-scale encoding would overflow.  Here
+    the key matrix is scaled by a = target/|fk|_inf and the value matrix
+    by b = (target/|fv|_inf)/a^2, which computes the same calibrated chain
+    (a^2*b * fk^2 @ W_val) while keeping every encoded matrix — and the
+    squared intermediate — near unit magnitude.  Better for CKKS noise on
+    any backend.  Returns (w_keys_scaled, w_vals_scaled).
+    """
+    ks, vs = [], []
+    x = np.asarray(x_cal, dtype=np.float64).copy()
+    for wk, wv in zip(w_keys, w_vals):
+        fk = x @ wk
+        a = target_mag / (np.max(np.abs(fk)) + 1e-12)
+        fv = fk ** 2 @ wv
+        ms = target_mag / (np.max(np.abs(fv)) + 1e-12)
+        b = ms / (a * a)
+        ks.append(wk * a)
+        vs.append(wv * b)
+        x = x + fv * ms
+    return ks, vs
+
+
+class FullyEncryptedFfn:
+    """Fully-encrypted FFN block evaluator for fixed (ctx, D, F)."""
+
+    def __init__(self, ctx: CkksContext, d: int, f: int):
+        self.ctx = ctx
+        self.d, self.f = d, f
+        self.eng = BsgsMatvec(ctx, d)
+        self.n_chunks = -(-f // d)
+
+    def encode_block(self, w_key: np.ndarray, w_val: np.ndarray) -> dict:
+        """Host pre-encode: chunked key/value diagonal stacks (int32)."""
+        d, enc = self.d, self.eng.encode
+        key_mats, val_mats = [], []
+        for c in range(self.n_chunks):
+            mk = np.zeros((d, d))
+            cols = w_key[:, c * d: (c + 1) * d].T
+            mk[: cols.shape[0]] = cols
+            key_mats.append(enc(mk).coeffs)
+            mv = np.zeros((d, d))
+            rows = w_val[c * d: (c + 1) * d, :].T
+            mv[:, : rows.shape[1]] = rows
+            val_mats.append(enc(mv).coeffs)
+        return {"key": np.stack(key_mats), "val": np.stack(val_mats)}
+
+    def load_block(self, host: dict, level: int) -> dict:
+        """Stage one block's diagonals at the levels they are consumed:
+        key at `level`, val at `level - 2`."""
+        ctx = self.ctx
+        return {"key": _load_coeffs(ctx, jnp.asarray(host["key"]), level),
+                "val": _load_coeffs(ctx, jnp.asarray(host["val"]), level - 2)}
+
+    def __call__(self, ct_x: Ciphertext, staged: dict) -> Ciphertext:
+        """One fully-encrypted block; level l -> l-3."""
+        ctx, l = self.ctx, ct_x.level
+        assert l >= 4, f"need >= 4 limbs, have {l} (bootstrap first)"
+        q = ctx.q_np
+        # 1. key projection (shared input, batched chunks)
+        fk = self._shared(l)(ct_x.c, staged["key"])          # [k, 2, l-1, N]
+        s_fk = ct_x.scale * ctx.scale / float(q[l - 1])
+        # 2. square (batched multiply + relin + rescale)
+        sq = Ciphertext(fk, s_fk)
+        sq = ctx.rescale(ctx.multiply(sq, sq))               # [k, 2, l-2, N]
+        # 3. value projection (batched chunks) + modular tree-sum
+        fv = self._batched(l - 2)(sq.c, staged["val"])       # [k, 2, l-3, N]
+        s_fv = sq.scale * ctx.scale / float(q[l - 3])
+        v = self._sum_chunks(l - 3)(fv)
+        # 4. residual: align level + scale, add
+        x_al = ctx.mod_drop(ct_x, 3)
+        v_ct = ctx.set_scale(Ciphertext(v, s_fv), x_al.scale)
+        return ctx.add(x_al, v_ct)
+
+    @functools.lru_cache(maxsize=None)
+    def _shared(self, l):
+        return jax.jit(jax.vmap(self.eng._kernel(l), in_axes=(None, 0)))
+
+    @functools.lru_cache(maxsize=None)
+    def _batched(self, l):
+        return jax.jit(jax.vmap(self.eng._kernel(l), in_axes=(0, 0)))
+
+    @functools.lru_cache(maxsize=None)
+    def _sum_chunks(self, l):
+        p = self.ctx.ntt.p[:l]
+
+        def f(x):
+            while x.shape[0] > 1:
+                m = x.shape[0]
+                if m % 2:
+                    head, x = x[:1], x[1:]
+                    x = x.at[0].set(add_mod(x[0], head[0], p))
+                    m -= 1
+                x = add_mod(x[: m // 2], x[m // 2:], p)
+            return x[0]
+        return jax.jit(f)
+
+
+def run_fully_encrypted(ctx: CkksContext, w_keys, w_vals, x0,
+                        bootstrap_fn=None, min_levels: int = 4,
+                        verbose: bool = True):
+    """Chain blocks with per-block plaintext verification (the reference's
+    main loop, test_fully_enc_bsgs.py:238-298).  Returns per-block stats."""
+    d, f = w_keys[0].shape
+    eng = FullyEncryptedFfn(ctx, d, f)
+    w_keys, w_vals = calibrate_magnitude(w_keys, w_vals, x0)
+
+    x_ref = np.asarray(x0, dtype=np.float64).copy()
+    refs = [x_ref.copy()]
+    for wk, wv in zip(w_keys, w_vals):
+        x_ref = plaintext_ffn_block(x_ref, wk, wv)
+        refs.append(x_ref.copy())
+
+    ct = ctx.encrypt_replicated(x0)
+    stats = []
+    n_boot = 0
+    for b, (wk, wv) in enumerate(zip(w_keys, w_vals)):
+        if ct.level - 1 < min_levels:
+            if bootstrap_fn is None:
+                if verbose:
+                    print(f"  out of levels at block {b} (level={ct.level})")
+                break
+            t0 = time.perf_counter()
+            ct = bootstrap_fn(ct)
+            n_boot += 1
+            if verbose:
+                print(f"  bootstrap before block {b}: "
+                      f"{time.perf_counter() - t0:.2f}s -> level {ct.level}")
+        t0 = time.perf_counter()
+        staged = eng.load_block(eng.encode_block(wk, wv), ct.level)
+        ct = eng(ct, staged)
+        dt = time.perf_counter() - t0
+        dec = ctx.decrypt_vec(ct, d)
+        corr = float(np.corrcoef(dec, refs[b + 1])[0, 1])
+        err = float(np.max(np.abs(dec - refs[b + 1])))
+        stats.append({"block": b, "corr": corr, "max_err": err, "sec": dt,
+                      "level": ct.level, "bootstraps": n_boot})
+        if verbose:
+            print(f"  block {b}: corr={corr:.10f} max_err={err:.2e} "
+                  f"level={ct.level} {dt:.2f}s")
+    return stats

@@ -1,0 +1,44 @@
+"""Fully-encrypted FFN chain: per-block corr vs plaintext oracle (target
+>0.999, reference test_fully_enc_bsgs.py:272-298)."""
+
+import numpy as np
+import pytest
+
+from fhe_spear_tpu.ckks import CkksContext, CkksParams
+from fhe_spear_tpu.models.fully_encrypted import (
+    run_fully_encrypted, plaintext_ffn_block, calibrate_magnitude,
+)
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    # 8 limbs -> 2 blocks at 3 levels each + margin
+    return CkksContext(CkksParams(n=256, num_limbs=8, num_special=1), seed=51)
+
+
+def test_calibration_bounds_magnitude():
+    rng = np.random.default_rng(0)
+    d, f, nb = 16, 64, 4
+    wk = [rng.normal(0, 0.02, (d, f)) for _ in range(nb)]
+    wv = [rng.normal(0, 0.02, (f, d)) for _ in range(nb)]
+    x0 = rng.normal(0, 0.1, d)
+    wk_c, wv_c = calibrate_magnitude(wk, wv, x0)
+    x = x0.copy()
+    for k, v in zip(wk_c, wv_c):
+        x = plaintext_ffn_block(x, k, v)
+        assert np.max(np.abs(x)) < 3.0
+        assert max(np.abs(m).max() for m in (k, v)) < 50
+
+
+def test_two_blocks_match_oracle(ctx):
+    rng = np.random.default_rng(7)
+    d, f, nb = 32, 128, 2
+    wk = [rng.normal(0, 0.02, (d, f)) for _ in range(nb)]
+    wv = [rng.normal(0, 0.02, (f, d)) for _ in range(nb)]
+    x0 = rng.normal(0, 0.1, d)
+    stats = run_fully_encrypted(ctx, wk, wv, x0, verbose=False)
+    assert len(stats) == 2
+    for s in stats:
+        assert s["corr"] > 0.999, stats
+        assert s["max_err"] < 1e-2, stats
+    assert stats[-1]["level"] == ctx.L - 6

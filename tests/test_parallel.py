@@ -1,0 +1,50 @@
+"""Multi-chip sharded BSGS on the 8-virtual-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+from jax.sharding import Mesh
+
+from fhe_spear_tpu.ckks import CkksContext, CkksParams
+from fhe_spear_tpu.ops.bsgs import bsgs_dims
+from fhe_spear_tpu.parallel.sharded_bsgs import ShardedBsgsMatvec
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return CkksContext(CkksParams(n=256, num_limbs=3, num_special=1), seed=41)
+
+
+def test_sharded_matvec_matches_oracle(ctx):
+    d = 64
+    assert bsgs_dims(d) == (8, 8)
+    devs = jax.devices()
+    assert len(devs) == 8, "conftest must force 8 virtual CPU devices"
+    mesh = Mesh(np.array(devs), ("giant",))
+    eng = ShardedBsgsMatvec(ctx, d, mesh)
+    rng = np.random.default_rng(3)
+    w = rng.normal(0, 0.3, (d, d))
+    x = rng.normal(0, 1, d)
+    pt = eng.load(eng.encode(w), ctx.L)
+    y = eng(ctx.encrypt_replicated(x), pt)
+    assert y.level == ctx.L - 1
+    np.testing.assert_allclose(ctx.decrypt_vec(y, d), w @ x, atol=2e-3)
+
+
+def test_sharded_matches_single_chip(ctx):
+    """Sharded and single-chip kernels agree to within keyswitch noise."""
+    from fhe_spear_tpu.ops.bsgs import BsgsMatvec
+
+    d = 64
+    mesh = Mesh(np.array(jax.devices()), ("giant",))
+    sharded = ShardedBsgsMatvec(ctx, d, mesh)
+    single = sharded.eng
+    rng = np.random.default_rng(4)
+    w = rng.normal(0, 0.3, (d, d))
+    x = rng.normal(0, 1, d)
+    enc = single.encode(w)
+    ct = ctx.encrypt_replicated(x)
+    y1 = single(ct, single.load(enc, ctx.L))
+    y2 = sharded(ct, sharded.load(enc, ctx.L))
+    np.testing.assert_allclose(ctx.decrypt_vec(y1, d), ctx.decrypt_vec(y2, d),
+                               atol=1e-4)
