@@ -1,0 +1,199 @@
+"""CKKS bootstrapping: ModRaise -> CoeffToSlot -> EvalMod -> SlotToCoeff.
+
+Equivalent of the reference fork's CUDA bootstrapper (SURVEY.md N1;
+"We implemented CKKS bootstrapping for PhantomFHE", paper/main.tex:698;
+driven via CKKSBootstrapContext.bootstrap, scripts/bootstrap_generation.py
+:149-154), re-designed for this framework:
+
+  * ModRaise is the existing centered base extension (one iNTT + Barrett
+    re-reduction + NTT) — the level-1 residue re-expressed mod the full Q
+    decrypts to v = Delta*m + q0*I with |I| <~ O(sqrt(h)) for a sparse
+    ternary secret of Hamming weight h.
+  * CoeffToSlot / SlotToCoeff are dense BSGS matmuls of dimension N/2
+    (built on ops/bsgs — the same engine as the model server), with the
+    matrices derived numerically from the encoder's own embed/project
+    maps; conjugation supplies the z-bar terms.
+  * EvalMod approximates t -> e^(2*pi*i*t/(q0*2^r)) by a Chebyshev series
+    (ops/polyeval Paterson-Stockmeyer) and squares r times, evaluated
+    separately on the real and imaginary coefficient streams; the final
+    Im(.) extraction constants fold q0/(2*pi*Delta_d) so slots come out in
+    original units.
+  * The message is re-scaled to Delta_d = scale/2^margin_bits before
+    ModRaise so the sine linearization error (x^2/6, x = 2*pi*|coeff|/q0)
+    stays ~1e-4 relative; |slot| <= 1 is the supported input range
+    (the fully-encrypted pipeline's magnitude control guarantees it).
+
+Level cost ~ 15-17 limbs; construct the context with num_limbs >= 20 and
+secret_hamming_weight ~ 64 (HEAAN-style sparse secret).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .context import CkksContext
+from .ciphertext import Ciphertext
+from ..ops.bsgs import BsgsMatvec
+from ..ops.polyeval import chebyshev_fit, eval_chebyshev, _mul_scalar_c
+
+__all__ = ["Bootstrapper"]
+
+
+class Bootstrapper:
+    def __init__(self, ctx: CkksContext, exp_degree: int = 23,
+                 range_k: int | None = None, margin_bits: int = 4):
+        assert ctx.params.secret_hamming_weight is not None, \
+            "bootstrap needs a sparse secret (secret_hamming_weight)"
+        self.ctx = ctx
+        h = ctx.params.secret_hamming_weight
+        # |I| <= K w.h.p.: I coeffs ~ Gaussian, std ~ sqrt(h/12)
+        self.K = range_k if range_k is not None else max(
+            8, int(math.ceil(5.0 * math.sqrt(h / 12.0))))
+        self.r = max(1, math.ceil(math.log2(self.K + 1)))
+        self.margin_bits = margin_bits
+        self.delta_d = ctx.scale / float(1 << margin_bits)
+        self.q0 = float(ctx.q_np[0])
+
+        s = ctx.slots
+        self.eng = BsgsMatvec(ctx, s)
+        ctx.ensure_galois([], conj=True)
+
+        # --- CoeffToSlot matrices: w = A z + B conj(z) -------------------
+        enc = ctx.encoder
+        eye = np.eye(s)
+        e1 = enc.embed(eye)                       # [j, N]: coeffs of e_j
+        e2 = enc.embed(1j * eye)
+        ap = (e1 - 1j * e2) / 2                   # A'[n, j] = ap[j, n]
+        bp = (e1 + 1j * e2) / 2
+        A = (ap[:, :s] + 1j * ap[:, s:]).T        # [S, S]
+        B = (bp[:, :s] + 1j * bp[:, s:]).T
+
+        # --- SlotToCoeff matrices: z = C w + D conj(w) -------------------
+        n = ctx.n
+        ej = (2 * enc._t_slot + 1).astype(np.float64)     # slot exponents
+        U = np.exp(1j * np.pi * np.outer(ej, np.arange(n)) / n)  # [S, N]
+        ul, ur = U[:, :s], U[:, s:]
+        C = ul / 2 - 1j * ur / 2
+        Dm = ul / 2 + 1j * ur / 2
+
+        self._c2s = self._encode_pair(A, B)
+        self._s2c = self._encode_pair(C, Dm)
+
+        # --- EvalMod Chebyshev series ------------------------------------
+        # C2S output slots are (integer coefficients)/Delta_d, so the exp
+        # argument carries a Delta_d factor
+        lim = (self.K + 1) * self.q0 / self.delta_d
+        dd = self.delta_d
+        self.exp_coeffs = chebyshev_fit(
+            lambda t: np.exp(2j * np.pi * t * dd / (self.q0 * (1 << self.r))),
+            -lim, lim, exp_degree)
+        self.exp_range = (-lim, lim)
+
+    # -- helpers -----------------------------------------------------------
+
+    def _encode_pair(self, m1, m2):
+        """Encode two matrices at a shared power-of-two scale chosen so the
+        largest diagonal coefficient sits near 2^28 (int32-representable)."""
+        ctx = self.ctx
+        mx = max(np.abs(m1).max(), np.abs(m2).max())
+        k = max(0, int(math.ceil(-math.log2(mx)))) if mx < 1 else 0
+        sp = ctx.scale * float(1 << k)
+        enc1 = self.eng.encode(m1, scale=sp)
+        enc2 = self.eng.encode(m2, scale=sp)
+        return {"coeffs": np.stack([enc1.coeffs, enc2.coeffs]), "scale": sp,
+                "staged": {}}
+
+    def _pair_matvec(self, pair, ct: Ciphertext) -> Ciphertext:
+        """M1 @ ct + M2 @ conj(ct), one batched BSGS, normalized scale."""
+        ctx = self.ctx
+        l = ct.level
+        if l not in pair["staged"]:
+            from ..ops.bsgs import _load_coeffs
+
+            pair["staged"][l] = _load_coeffs(
+                ctx, jnp.asarray(pair["coeffs"]), l)
+        ct_conj = ctx.conjugate(ct)
+        both = Ciphertext(jnp.stack([ct.c, ct_conj.c]), ct.scale)
+        out = self._batched(l)(both.c, pair["staged"][l])
+        scale = ct.scale * pair["scale"] / float(ctx.q_np[l - 1])
+        summed = ctx.add(Ciphertext(out[0], scale), Ciphertext(out[1], scale))
+        return ctx.scale_to(summed, ctx.scale)
+
+    @functools.lru_cache(maxsize=None)
+    def _batched(self, l):
+        return jax.jit(jax.vmap(self.eng._kernel(l), in_axes=(0, 0)))
+
+    def mod_raise(self, ct: Ciphertext) -> Ciphertext:
+        """Level-1 ciphertext -> full-level ciphertext decrypting to
+        v + q0*I (centered base extension of both components)."""
+        ctx = self.ctx
+        assert ct.level == 1
+        return Ciphertext(self._j_raise(ct.c), ct.scale)
+
+    @functools.cached_property
+    def _j_raise(self):
+        ctx = self.ctx
+        ntt = ctx.ntt
+        rows = tuple(range(ctx.L))
+
+        def f(c):
+            coeffs = ntt.from_mont(ntt.intt(c, (0,)), (0,))   # [2, 1, N]
+            ext = ctx._extend_centered(coeffs, (0,), rows)[..., 0, :, :]
+            return ntt.to_mont(ntt.ntt(ext, rows), rows)
+        return jax.jit(f)
+
+    def _eval_exp(self, ct: Ciphertext) -> Ciphertext:
+        """e^(2*pi*i*t/q0) on a real-slot ciphertext t (|t|<=(K+1)q0)."""
+        ctx = self.ctx
+        e = eval_chebyshev(ctx, ct, self.exp_coeffs, *self.exp_range)
+        for _ in range(self.r):
+            e = ctx.rescale(ctx.multiply(e, e))
+        return e
+
+    # -- the full pipeline -------------------------------------------------
+
+    def bootstrap(self, ct: Ciphertext) -> Ciphertext:
+        """Refresh a (level <= 2, |slot| <= 1) ciphertext to high level."""
+        ctx = self.ctx
+        # 0. normalize to Delta_d and drop to one limb
+        if ct.level == 1:
+            assert abs(ct.scale - self.delta_d) < 1e-3 * self.delta_d, \
+                "level-1 bootstrap input must already sit at delta_d"
+        else:
+            ct = ctx.scale_to(ct, self.delta_d)
+            ct = ctx.mod_switch_to(ct, 1)
+        # 1. ModRaise: v + q0*I at full level
+        raised = self.mod_raise(ct)
+        # 2. CoeffToSlot: slots <- coefficient pairs w_k = v_k + i v_{k+S}
+        w = self._pair_matvec(self._c2s, raised)
+        # 3. split real/imag coefficient streams
+        wc = ctx.conjugate(w)
+        two_re = ctx.add(w, wc)                      # 2*Re(w)
+        two_im_i = ctx.sub(w, wc)                    # 2i*Im(w)
+        # fold the 1/2 (and 1/(2i)) into the post-exp constants instead;
+        # the exp argument must be exact, so halve now via scalar mult
+        half_re = ctx.rescale(ctx.mul_scalar(two_re, 0.5))
+        half_im = _mul_scalar_c(ctx, two_im_i, -0.5j, ctx.scale)
+        half_im = ctx.rescale(half_im)
+        # 4. EvalMod both streams
+        er = self._eval_exp(half_re)
+        ei = self._eval_exp(half_im)
+        # 5. recombine: w~ = gamma*(Im(er) + i*Im(ei)),
+        #    gamma = q0/(2*pi*Delta_d)
+        gamma = self.q0 / (2 * np.pi * self.delta_d)
+        lvl = min(er.level, ei.level)
+        er = ctx.mod_switch_to(er, lvl)
+        ei = ctx.mod_switch_to(ei, lvl)
+        dr = ctx.sub(er, ctx.conjugate(er))          # 2i*Im(er)
+        di = ctx.sub(ei, ctx.conjugate(ei))          # 2i*Im(ei)
+        t1 = ctx.rescale(_mul_scalar_c(ctx, dr, -0.5j * gamma, ctx.scale))
+        t2 = ctx.rescale(ctx.mul_scalar(di, 0.5 * gamma))
+        wt = ctx.add(t1, Ciphertext(t2.c, t1.scale))
+        # 6. SlotToCoeff
+        out = self._pair_matvec(self._s2c, wt)
+        return out

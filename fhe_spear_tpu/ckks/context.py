@@ -80,6 +80,10 @@ class CkksParams:
     scale_bits: int = 28
     first_bits: int = 31
     noise_sigma: float = 3.2
+    # sparse ternary secret (Hamming weight); None = dense ternary.
+    # Bootstrap contexts need sparse secrets to bound the ModRaise integer
+    # |I| <= O(sqrt(h)) (HEAAN-style, h=64 default in ckks/bootstrap.py).
+    secret_hamming_weight: int | None = None
 
     @property
     def scale(self) -> float:
@@ -169,7 +173,14 @@ class CkksContext:
         self._qlinv = qlinv
 
         # --- keys ---
-        self._sk_coeff = self.rng.integers(-1, 2, size=self.n).astype(np.int64)
+        h = params.secret_hamming_weight
+        if h is None:
+            self._sk_coeff = self.rng.integers(-1, 2, size=self.n
+                                               ).astype(np.int64)
+        else:
+            self._sk_coeff = np.zeros(self.n, dtype=np.int64)
+            pos = self.rng.choice(self.n, size=h, replace=False)
+            self._sk_coeff[pos] = self.rng.choice([-1, 1], size=h)
         self.s_eval = self._to_eval_mont(self._sk_coeff, tuple(range(LK)))
         self.relin_key: KeySwitchKey = self._make_ksk(
             mont_mul(self.s_eval, self.s_eval, self.ntt.p, self.ntt.pinv))
@@ -423,6 +434,55 @@ class CkksContext:
     def _j_mulp(self, l):
         p, pinv = self._p(l)
         return jax.jit(lambda c, q: mont_mul(c, q, p, pinv))
+
+    def mul_scalar(self, x: Ciphertext, value: float,
+                   scale: float | None = None) -> Ciphertext:
+        """Multiply by a plaintext scalar: a constant polynomial is constant
+        across the evaluation domain, so this is one Montgomery multiply by
+        a per-limb residue — no encoding, no NTT (the "direct RNS scalar
+        mult" fast path of the reference fork, SURVEY.md N1).  Consumes
+        scale like mul_plain; rescale afterwards as usual."""
+        scale = self.scale if scale is None else scale
+        v = int(round(value * scale))
+        l = x.level
+        r = np.array([v % int(self.q_np[i]) for i in range(l)],
+                     dtype=np.uint64)
+        r = r * np.array([self.primes[i].mont_r for i in range(l)],
+                         dtype=object) % np.array(
+                             [int(self.q_np[i]) for i in range(l)], dtype=object)
+        const = jnp.asarray(np.asarray(r, dtype=np.uint64)
+                            .astype(np.uint32)[:, None])
+        return Ciphertext(self._j_mulc(l)(x.c, const), x.scale * scale)
+
+    @functools.lru_cache(maxsize=None)
+    def _j_mulc(self, l):
+        p, pinv = self._p(l)
+        return jax.jit(lambda c, k: mont_mul(c, k, p, pinv))
+
+    def scale_to(self, x: Ciphertext, target: float | None = None
+                 ) -> Ciphertext:
+        """Normalize x to scale exactly `target` (default ctx.scale) by one
+        adjusting scalar multiply + as many rescales as needed.  Used at
+        bootstrap stage boundaries where matrix/constant scales pile up."""
+        target = self.scale if target is None else target
+        if abs(x.scale - target) <= 1e-9 * target:
+            return x
+        assert x.scale > target, (x.scale, target)
+        # pick k rescales so the adjusting factor is >= 2^20 (scalar
+        # rounding error then <= 2^-21)
+        prod, k = 1.0, 0
+        while target * prod / x.scale < (1 << 20) and k < x.level - 1:
+            k += 1
+            prod *= float(self.q_np[x.level - k])
+        adj = target * prod / x.scale
+        # split into factors < 2^31 (several scalar mults, no extra level)
+        while adj > float(1 << 30):
+            x = self.mul_scalar(x, 1.0, scale=float(1 << 24))
+            adj /= float(1 << 24)
+        x = self.mul_scalar(x, 1.0, scale=adj)
+        for _ in range(k):
+            x = self.rescale(x)
+        return Ciphertext(x.c, target)  # kill float round-off in the tag
 
     def multiply(self, x: Ciphertext, y: Ciphertext, relin: bool = True
                  ) -> Ciphertext:

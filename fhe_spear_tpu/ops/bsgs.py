@@ -115,8 +115,16 @@ class BsgsMatvec:
         scale = ctx.scale if scale is None else scale
         diags = extract_diagonals(w, self.d)                    # [B, G, D]
         tiled = np.tile(diags, (1, 1, ctx.slots // self.d))     # [B, G, slots]
-        coeffs = ctx.encoder.encode(tiled, scale)               # int64 [B,G,N]
-        return EncodedDiagonals(coeffs.astype(np.int32), scale, self.d)
+        # native C++/OpenMP batch encoder when available (N1 parity);
+        # numpy canonical-embedding fallback otherwise
+        from ..native import batch_encode
+
+        enc = ctx.encoder
+        coeffs = batch_encode(np.asarray(tiled, dtype=np.complex128), scale,
+                              enc._t_slot, enc._t_conj, ctx.n)
+        if coeffs is None:
+            coeffs = ctx.encoder.encode(tiled, scale).astype(np.int32)
+        return EncodedDiagonals(coeffs, scale, self.d)
 
     # -- device staging ----------------------------------------------------
 

@@ -1,0 +1,81 @@
+"""CKKS bootstrap: stage-wise oracles then the full refresh
+(reference oracle: bootstrap_spot_check, scripts/bootstrap_generation.py
+:1035-1077 — round-trip error < 0.1)."""
+
+import numpy as np
+import pytest
+
+from fhe_spear_tpu.ckks import CkksContext, CkksParams
+from fhe_spear_tpu.ckks.bootstrap import Bootstrapper
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return CkksContext(
+        CkksParams(n=128, num_limbs=20, num_special=2,
+                   secret_hamming_weight=16), seed=81)
+
+
+@pytest.fixture(scope="module")
+def bt(ctx):
+    return Bootstrapper(ctx, exp_degree=23)
+
+
+def rand_msg(ctx, seed=0, mag=0.8):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-mag, mag, ctx.slots)
+
+
+def test_mod_raise(ctx, bt):
+    m = rand_msg(ctx, 1)
+    ct = ctx.mod_switch_to(ctx.encrypt(m, scale=bt.delta_d), 1)
+    want_coeffs = ctx.encoder.encode(np.asarray(m, complex), bt.delta_d)
+    raised = bt.mod_raise(ct)
+    assert raised.level == ctx.L
+    got = ctx.decrypt_to_coeffs(raised)            # exact (2-limb CRT)
+    q0 = int(ctx.q_np[0])
+    I = (got - want_coeffs) / q0
+    np.testing.assert_allclose(I, np.round(I), atol=1e-3)  # integer multiple
+    assert np.abs(I).max() <= bt.K, np.abs(I).max()
+
+
+def test_c2s_extracts_coefficients(ctx, bt):
+    m = rand_msg(ctx, 2)
+    ct = ctx.encrypt(m)                            # full level, scale Delta
+    w = bt._pair_matvec(bt._c2s, ct)
+    got = ctx.decrypt_vec_complex(w)
+    coeffs = ctx.encoder.encode(np.asarray(m, complex), ctx.scale) / ctx.scale
+    s = ctx.slots
+    want = coeffs[:s] + 1j * coeffs[s:]
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_s2c_inverts_c2s(ctx, bt):
+    m = rand_msg(ctx, 3)
+    ct = ctx.encrypt(m)
+    w = bt._pair_matvec(bt._c2s, ct)
+    back = bt._pair_matvec(bt._s2c, w)
+    np.testing.assert_allclose(ctx.decrypt_vec(back), m, atol=1e-2)
+
+
+def test_eval_exp(ctx, bt):
+    rng = np.random.default_rng(4)
+    lim = bt.exp_range[1]
+    t = rng.uniform(-0.7 * lim, 0.7 * lim, ctx.slots)
+    ct = ctx.encrypt(t)
+    e = bt._eval_exp(ct)
+    want = np.exp(2j * np.pi * t * bt.delta_d / bt.q0)
+    got = ctx.decrypt_vec_complex(e)
+    np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_full_bootstrap(ctx, bt):
+    m = rand_msg(ctx, 5)
+    ct = ctx.mod_switch_to(ctx.encrypt(m), 2)      # depleted ciphertext
+    out = bt.bootstrap(ct)
+    assert out.level >= 3, out.level
+    got = ctx.decrypt_vec(out)
+    err = np.abs(got - m).max()
+    assert err < 0.05, err                          # ref band: < 0.1
+    corr = np.corrcoef(got, m)[0, 1]
+    assert corr > 0.999, corr
