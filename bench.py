@@ -50,7 +50,9 @@ def main():
     log(f"context + keys ({time.perf_counter() - t0:.1f}s)")
 
     results = run_generation(ctx, model, seed_tokens=[5, 11, 2],
-                             num_tokens=num_tokens + 1, level=3, verbose=False)
+                             num_tokens=num_tokens + 1, level=3, verbose=False,
+                             fused=os.environ.get("BENCH_FUSED", "1") == "1",
+                             log_fn=log)
     for i, r in enumerate(results):
         log(f"token {i}: match={r['match']} corr={r['corr']:.6f} "
             f"{r['sec']:.2f}s")

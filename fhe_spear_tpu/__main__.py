@@ -48,7 +48,8 @@ def cmd_generate(args):
                                   head_size=args.head_size, seed=args.seed)
     ctx = _ctx(args.n, args.level, args.specials, args.seed)
     results = run_generation(ctx, model, seed_tokens=[5, 11, 2],
-                             num_tokens=args.tokens, level=args.level)
+                             num_tokens=args.tokens, level=args.level,
+                             fused=not args.no_fused)
     match = sum(r["match"] for r in results)
     print(f"generation: {match}/{len(results)} tokens match plaintext; "
           f"mean {np.mean([r['sec'] for r in results]):.2f}s/token")
@@ -124,6 +125,8 @@ def main(argv=None):
     g.add_argument("--weights", type=str, default=None,
                    help="path to a real RWKV-7 .pth checkpoint")
     g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--no-fused", action="store_true",
+                   help="explicit ciphertext transport (host randomness)")
     g.set_defaults(fn=cmd_generate)
 
     f = sub.add_parser("fullenc")

@@ -89,6 +89,34 @@ class CkksParams:
     def scale(self) -> float:
         return float(2.0 ** self.scale_bits)
 
+    # -- presets mirroring the reference's three context regimes (C1) -----
+
+    @classmethod
+    def retrieval(cls, n: int = 8192) -> "CkksParams":
+        """CT-PT/CT-CT retrieval: one multiply + rescale
+        (fhe_common.py:84-96: N=8192, [60,40,40,60])."""
+        return cls(n=n, num_limbs=3, num_special=1)
+
+    @classmethod
+    def client_aided(cls, n: int = 8192) -> "CkksParams":
+        """1-level BSGS round trips (the reference's A100 headline
+        config N=8192, L0=3, P=1 — scripts/bootstrap_generation.py:1654)."""
+        return cls(n=n, num_limbs=3, num_special=1)
+
+    @classmethod
+    def deep(cls, n: int, depth: int, num_special: int = 1) -> "CkksParams":
+        """Fully-encrypted chains: depth limbs + q0
+        (fhe_rwkv_inference.py:30-44; CKKSBootstrapContext L0)."""
+        return cls(n=n, num_limbs=depth + 1, num_special=num_special)
+
+    @classmethod
+    def bootstrap(cls, n: int, num_limbs: int = 22, num_special: int = 2,
+                  hamming: int = 64) -> "CkksParams":
+        """Bootstrappable: sparse secret + deep chain
+        (CKKSBootstrapContext with bootstrapper, bootstrap_generation.py:61)."""
+        return cls(n=n, num_limbs=num_limbs, num_special=num_special,
+                   secret_hamming_weight=hamming)
+
 
 class KeySwitchKey:
     """b, a: [L, L+K, N] uint32, NTT domain, R^2 form (digit, limb, coeff)."""
@@ -272,16 +300,47 @@ class CkksContext:
     CONJ = "conj"
 
     def ensure_galois(self, steps_list, conj: bool = False) -> None:
-        """Generate (once) the rotation keys for the given step set."""
+        """Generate (once) the rotation keys for the given step set.
+
+        All missing keys are generated in ONE batched jitted call — with a
+        remote device every per-key dispatch is a round trip, so batching
+        turns O(keys) round trips into O(1)."""
         gs = [self.galois_element(s) for s in steps_list]
         if conj:
             gs.append(2 * self.n - 1)
-        for g in gs:
-            if g in self.galois_keys or g == 1:
-                continue
-            perm = automorphism_perm(self.n, g)
-            sp = jnp.take(self.s_eval, jnp.asarray(perm), axis=-1)
-            self.galois_keys[g] = self._make_ksk(sp)
+        gs = sorted({g for g in gs if g not in self.galois_keys and g != 1})
+        if not gs:
+            return
+        LK = self.L + self.K
+        all_rows = tuple(range(LK))
+        perms = np.stack([automorphism_perm(self.n, g) for g in gs])
+        m = len(gs)
+        a = jnp.asarray(self._uniform((m, self.L), all_rows))
+        e = jnp.asarray(self._reduce_rows(self._gauss((m, self.L)), all_rows))
+        b2, a2 = self._j_make_ksk_batch(jnp.asarray(perms), a, e)
+        for i, g in enumerate(gs):
+            self.galois_keys[g] = KeySwitchKey(b2[i], a2[i])
+
+    @functools.cached_property
+    def _j_make_ksk_batch(self):
+        LK = self.L + self.K
+        all_rows = tuple(range(LK))
+
+        def build_one(perm, a, e):
+            ntt = self.ntt
+            sprime = jnp.take(self.s_eval, perm, axis=-1)
+            e_ev = ntt.to_mont(ntt.ntt(e, all_rows), all_rows)
+            b = add_mod(
+                neg_mod(mont_mul(a, self.s_eval, ntt.p, ntt.pinv), ntt.p),
+                e_ev, ntt.p)
+            msg = mont_mul(sprime[: self.L], self.Pmod_mont,
+                           ntt.p[: self.L], ntt.pinv[: self.L])
+            idx = jnp.arange(self.L)
+            b = b.at[idx, idx].set(
+                add_mod(b[idx, idx], msg, ntt.p[: self.L, 0][:, None]))
+            return ntt.to_mont(b, all_rows), ntt.to_mont(a, all_rows)
+
+        return jax.jit(jax.vmap(build_one))
 
     # ------------------------------------------------------------------
     # encode / encrypt / decrypt
@@ -344,9 +403,16 @@ class CkksContext:
         multiprecision arithmetic is ever needed.
         """
         nl = min(2, ct.level)
-        limbs = np.asarray(self._j_dec_cached(ct.level, nl)(ct.c)).astype(np.uint64)
+        limbs = np.asarray(self._j_dec_cached(ct.level, nl)(ct.c))
+        return self.compose_coeffs(limbs)
+
+    def compose_coeffs(self, limbs: np.ndarray) -> np.ndarray:
+        """uint32 residue limbs [..., nl, N] (nl = 1 or 2, coefficient
+        domain, plain) -> centered float64 coefficients via exact uint64
+        CRT.  Shared by decrypt and the fused-round-trip client path."""
+        limbs = limbs.astype(np.uint64)
         q0 = int(self.q_np[0])
-        if nl == 1:
+        if limbs.shape[-2] == 1:
             c = limbs[..., 0, :].astype(np.int64)
             c[c > q0 // 2] -= q0
             return c.astype(np.float64)

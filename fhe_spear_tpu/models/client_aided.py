@@ -43,7 +43,8 @@ import jax.numpy as jnp
 
 from ..ckks.context import CkksContext
 from ..ckks.ciphertext import Ciphertext
-from ..ops.bsgs import BsgsMatvec, EncodedDiagonals, _load_coeffs
+from ..core.modops import mont_mul, add_mod, neg_mod, barrett_reduce
+from ..ops.bsgs import BsgsMatvec, EncodedDiagonals, _load_coeffs, rns_expand
 from .rwkv7 import (
     RwkvModel, RwkvState, layer_norm, token_mix, wkv7_client,
     generate_token_plaintext,
@@ -180,83 +181,174 @@ class FheRwkvServer:
     def _kernel_shared(self, l):
         return jax.jit(jax.vmap(self.eng._kernel(l), in_axes=(None, 0)))
 
+    # -- fused round trip --------------------------------------------------
+    # encrypt -> BSGS -> partial decrypt in ONE jitted device call: with a
+    # remote accelerator every dispatch is a network round trip, so the
+    # whole protocol step (client encode excepted) runs device-side.
+    # Encryption randomness comes from the device PRNG (threefry); the
+    # client-side numpy path remains available for strict symmetric
+    # encryption parity.
+
+    def fused_project(self, kind: str, i: int, m_coeffs: np.ndarray,
+                      seed: int) -> np.ndarray:
+        """m_coeffs: int32 [b, N] encoded inputs.  Returns decrypted
+        limb pairs [b, 2, N] uint32 (host finishes with uint64 CRT)."""
+        pt = self.load_block(i)[kind]
+        shared = kind == "ffn_key"
+        m = m_coeffs[0] if shared else m_coeffs   # shared: one ct, many mats
+        key = jax.random.PRNGKey(seed)
+        return np.asarray(
+            self._fused(self.level, m.shape[:-1], shared)(
+                jnp.asarray(m), key, pt))
+
+    @functools.lru_cache(maxsize=None)
+    def _fused(self, l, batch, shared):
+        ctx = self.ctx
+        ntt = ctx.ntt
+        p, pinv = ctx._p(l)
+        q = ctx.q_np[:l]
+        # (2^32 mod q) * R mod q: turns a 64-bit uniform into mod-q uniform
+        t32r = jnp.asarray(np.array(
+            [(1 << 32) % int(q[i]) * ctx.primes[i].mont_r % int(q[i])
+             for i in range(l)], dtype=np.uint64).astype(np.uint32)[:, None])
+        kern = self.eng._kernel(l)
+        kern = jax.vmap(kern, in_axes=((None, 0) if shared else (0, 0)))
+        sigma = ctx.params.noise_sigma
+
+        def uniform_mod(key, shape):
+            hi = jax.random.bits(key, shape + (l, ctx.n), jnp.uint32)
+            lo = jax.random.bits(jax.random.fold_in(key, 1),
+                                 shape + (l, ctx.n), jnp.uint32)
+            h = barrett_reduce(hi, p, ctx.mu[:l])
+            return add_mod(mont_mul(h, t32r, p, pinv),
+                           barrett_reduce(lo, p, ctx.mu[:l]), p)
+
+        def f(m, key, pt):
+            m_eval = rns_expand(ctx, m, l)                 # [b, l, N]
+            ka, ke = jax.random.split(key)
+            shape = m.shape[:-1]
+            a = uniform_mod(ka, shape)
+            e = jnp.round(jax.random.normal(ke, shape + (ctx.n,)) * sigma
+                          ).astype(jnp.int32)
+            e_eval = rns_expand(ctx, e, l)
+            s = ctx.s_eval[:l]
+            c0 = add_mod(add_mod(neg_mod(mont_mul(a, s, p, pinv), p),
+                                 m_eval, p), e_eval, p)
+            c = jnp.stack([c0, a], axis=-3)                # [b, 2, l, N]
+            out = kern(c, pt)                              # [b, 2, l-1, N]
+            nl = min(2, l - 1)
+            v = add_mod(out[..., 0, :nl, :],
+                        mont_mul(out[..., 1, :nl, :], ctx.s_eval[:nl],
+                                 ntt.p[:nl], ntt.pinv[:nl]),
+                        ntt.p[:nl])
+            return ntt.from_mont(ntt.intt(v, tuple(range(nl))),
+                                 tuple(range(nl)))
+        return jax.jit(f)
+
 
 class FheRwkvClient:
     """Client side: all nonlinearities in plaintext, normalizes before
-    encryption, drives the 4-round-trip protocol."""
+    encryption, drives the 4-round-trip protocol.
 
-    def __init__(self, ctx: CkksContext, model: RwkvModel, server: FheRwkvServer):
+    Two transports:
+      * fused=True (default): one device call per round trip — the server
+        kernel is wrapped with device-side encryption + partial decryption
+        (FheRwkvServer.fused_project); the client does encode/decode and
+        the uint64 CRT on the host.  Minimizes dispatch latency.
+      * fused=False: explicit Ciphertext objects across the boundary
+        (bitwise-faithful symmetric encryption with host randomness).
+    """
+
+    def __init__(self, ctx: CkksContext, model: RwkvModel,
+                 server: FheRwkvServer, fused: bool = True):
         self.ctx = ctx
         self.model = model
         self.server = server
         self.level = server.level
         self.d, self.f = server.d, server.f
+        self.fused = fused
+        self._seed = 0
 
-    # normalization: encrypt x/|x|_inf, multiply result back (exact)
-    def _enc(self, xs: np.ndarray) -> tuple[Ciphertext, np.ndarray]:
-        xs = np.atleast_2d(np.asarray(xs, dtype=np.float64))
-        mag = np.maximum(np.abs(xs).max(axis=-1, keepdims=True), 1e-9)
-        tiled = np.tile(xs / mag, (1, self.ctx.slots // xs.shape[-1]))
-        ct = self.ctx.encrypt(tiled if xs.shape[0] > 1 else tiled[0],
-                              level=self.level)
-        return ct, mag
+    # -- encode / transport helpers ---------------------------------------
 
-    def _enc_pairs(self, x: np.ndarray) -> tuple[Ciphertext, np.ndarray]:
-        """F-dim vector -> complex chunk-pair ciphertexts [P, ...]."""
-        d = self.d
-        pads = []
-        for c0, c1 in self.server.key_pairs:
-            x0 = x[c0 * d: (c0 + 1) * d]
-            x0 = np.pad(x0, (0, d - len(x0)))
-            if c1 is not None:
-                x1 = x[c1 * d: (c1 + 1) * d]
-                x1 = np.pad(x1, (0, d - len(x1)))
-            else:
-                x1 = np.zeros(d)
-            pads.append(x0 + 1j * x1)
-        z = np.stack(pads)
-        mag = np.maximum(np.abs(z.real).max(initial=0), np.abs(z.imag).max(initial=0))
-        mag = max(mag, 1e-9)
-        tiled = np.tile(z / mag, (1, self.ctx.slots // d))
-        return self.ctx.encrypt(tiled, level=self.level), mag
+    def _encode_i32(self, slots: np.ndarray) -> np.ndarray:
+        from ..native import batch_encode
+
+        enc = self.ctx.encoder
+        out = batch_encode(np.asarray(slots, dtype=np.complex128),
+                           self.ctx.scale, enc._t_slot, enc._t_conj,
+                           self.ctx.n)
+        if out is None:
+            out = enc.encode(slots, self.ctx.scale).astype(np.int32)
+        return out
+
+    def _tile(self, xs: np.ndarray) -> np.ndarray:
+        return np.tile(xs, (1, self.ctx.slots // xs.shape[-1]))
+
+    def _project(self, kind: str, i: int, slots: np.ndarray) -> np.ndarray:
+        """Send normalized slot rows through one server projection; returns
+        decrypted complex slot rows [b, S]."""
+        ctx = self.ctx
+        out_scale = ctx.scale * ctx.scale / float(ctx.q_np[self.level - 1])
+        if self.fused:
+            self._seed += 1
+            limbs = self.server.fused_project(
+                kind, i, self._encode_i32(slots), self._seed)
+            coeffs = ctx.compose_coeffs(limbs)
+            return ctx.encoder.decode(coeffs, out_scale)
+        ct = ctx.encrypt(slots if slots.shape[0] > 1 else slots[0],
+                         level=self.level)
+        if kind == "rkv":
+            out = self.server.project_rkv(i, ct)
+        elif kind == "o":
+            out = self.server.project_o(i, ct)
+        elif kind == "ffn_key":
+            out = self.server.project_ffn_key(i, ct)
+        else:
+            out = self.server.project_ffn_val(i, ct)
+        return np.atleast_2d(ctx.decrypt_vec_complex(out))
+
+    # -- the protocol ------------------------------------------------------
 
     def block(self, i: int, x, x_prev_att, x_prev_ffn, state, v_first):
         """One client-aided block; mirrors the plaintext oracle exactly."""
         blk = self.model.blocks[i]
-        ctx, srv, d = self.ctx, self.server, self.d
+        srv, d = self.server, self.d
         timings = {}
 
         t0 = time.perf_counter()
         x_ln = layer_norm(x, blk.ln1_w, blk.ln1_b)
         mixes = token_mix(blk, x_ln, x_prev_att)
-        ct3, mag = self._enc(np.stack([mixes["r"], mixes["k"], mixes["v"]]))
+        xs = np.stack([mixes["r"], mixes["k"], mixes["v"]])
+        mag = np.maximum(np.abs(xs).max(axis=-1, keepdims=True), 1e-9)
         timings["client_mix"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        ct_out = srv.project_rkv(i, ct3)
-        rkv = ctx.decrypt_vec(ct_out)[..., :d] * mag
+        rkv = self._project("rkv", i, self._tile(xs / mag)).real[:, :d] * mag
         r, k, v = rkv[0], rkv[1], rkv[2]
         timings["server_rkv"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         gated, new_state, v, v_first = wkv7_client(blk, r, k, v, mixes, state,
                                                    v_first)
-        ct_g, mag_g = self._enc(gated)
+        mag_g = max(np.abs(gated).max(), 1e-9)
         timings["client_wkv_gate"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        att = ctx.decrypt_vec(srv.project_o(i, ct_g))[:d] * mag_g[0, 0]
+        att = self._project("o", i, self._tile(gated[None] / mag_g)
+                            )[0].real[:d] * mag_g
         timings["server_wo"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         x = x + att
         x_ffn_ln = layer_norm(x, blk.ln2_w, blk.ln2_b)
         xk_ffn = x_ffn_ln + (x_prev_ffn - x_ffn_ln) * blk.x_k_ffn
-        ct_fk, mag_fk = self._enc(xk_ffn)
+        mag_fk = max(np.abs(xk_ffn).max(), 1e-9)
         timings["client_ffn_prep"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        z = ctx.decrypt_vec_complex(srv.project_ffn_key(i, ct_fk)) * mag_fk[0, 0]
+        z = self._project("ffn_key", i, self._tile(xk_ffn[None] / mag_fk)
+                          ) * mag_fk
         fk = np.zeros(srv.n_chunks * d)
         for p, (c0, c1) in enumerate(srv.key_pairs):
             fk[c0 * d: (c0 + 1) * d] = z[p, :d].real
@@ -267,12 +359,22 @@ class FheRwkvClient:
 
         t0 = time.perf_counter()
         fk = np.maximum(fk, 0.0) ** 2
-        ct_pairs, mag_v = self._enc_pairs(fk)
+        pads = []
+        for c0, c1 in srv.key_pairs:
+            x0 = np.pad(fk[c0 * d: (c0 + 1) * d],
+                        (0, max(0, d - len(fk[c0 * d: (c0 + 1) * d]))))
+            x1 = (np.pad(fk[c1 * d: (c1 + 1) * d],
+                         (0, max(0, d - len(fk[c1 * d: (c1 + 1) * d]))))
+                  if c1 is not None else np.zeros(d))
+            pads.append(x0 + 1j * x1)
+        zp = np.stack(pads)
+        mag_v = max(np.abs(zp.real).max(initial=0),
+                    np.abs(zp.imag).max(initial=0), 1e-9)
         timings["client_relu_sq"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        zv = ctx.decrypt_vec_complex(srv.project_ffn_val(i, ct_pairs)) * mag_v
-        v_ffn = np.atleast_2d(zv)[:, :d].real.sum(axis=0)
+        zv = self._project("ffn_val", i, self._tile(zp / mag_v)) * mag_v
+        v_ffn = zv[:, :d].real.sum(axis=0)
         timings["server_ffn_val"] = time.perf_counter() - t0
 
         x = x + v_ffn
@@ -296,12 +398,13 @@ class FheRwkvClient:
 
 
 def run_generation(ctx: CkksContext, model: RwkvModel, seed_tokens,
-                   num_tokens: int, level: int = 3, verbose: bool = True):
+                   num_tokens: int, level: int = 3, verbose: bool = True,
+                   fused: bool = True, log_fn=None):
     """Prefill in plaintext, then generate under FHE with a plaintext twin;
     reports per-token match + logit correlation (the reference's
     run_generation oracle loop, scripts/bootstrap_generation.py:1108-1247)."""
     server = FheRwkvServer(ctx, model, level=level)
-    client = FheRwkvClient(ctx, model, server)
+    client = FheRwkvClient(ctx, model, server, fused=fused)
 
     st_fhe, st_ref = model.zero_state(), model.zero_state()
     for tok in seed_tokens[:-1]:
@@ -320,7 +423,10 @@ def run_generation(ctx: CkksContext, model: RwkvModel, seed_tokens,
         corr = float(np.corrcoef(logits_fhe, logits_ref)[0, 1])
         results.append({"ref": tok_ref, "fhe": tok_fhe,
                         "match": tok_ref == tok_fhe, "corr": corr, "sec": dt})
-        if verbose:
+        if log_fn is not None:
+            log_fn(f"token {step}: ref={tok_ref} fhe={tok_fhe} "
+                   f"match={tok_ref == tok_fhe} corr={corr:.6f} {dt:.2f}s")
+        elif verbose:
             print(f"  token {step}: ref={tok_ref} fhe={tok_fhe} "
                   f"match={tok_ref == tok_fhe} corr={corr:.6f} {dt:.2f}s")
     return results

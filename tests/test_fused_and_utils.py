@@ -1,0 +1,125 @@
+"""Fused round-trip transport equivalence, polyeval, naive ablation,
+serialization, and the RAG/demo apps."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fhe_spear_tpu.ckks import CkksContext, CkksParams
+from fhe_spear_tpu.models.rwkv7 import make_random_model, plaintext_block
+from fhe_spear_tpu.models.client_aided import FheRwkvServer, FheRwkvClient
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return CkksContext(CkksParams(n=256, num_limbs=3, num_special=1), seed=91)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return make_random_model(d=32, f=128, n_blocks=1, head_size=16, vocab=64,
+                             seed=7)
+
+
+def test_fused_block_matches_oracle(ctx, model):
+    server = FheRwkvServer(ctx, model, level=3)
+    fused = FheRwkvClient(ctx, model, server, fused=True)
+    classic = FheRwkvClient(ctx, model, server, fused=False)
+    rng = np.random.default_rng(0)
+    d = model.d
+    x = rng.normal(0, 1, d)
+    xpa, xpf = rng.normal(0, 1, d), rng.normal(0, 1, d)
+    state = rng.normal(0, 0.3, (model.n_head, model.head_size,
+                                model.head_size))
+    want = plaintext_block(model.blocks[0], x, xpa, xpf, state, None)[0]
+    got_f = fused.block(0, x, xpa, xpf, state, None)[0]
+    got_c = classic.block(0, x, xpa, xpf, state, None)[0]
+    np.testing.assert_allclose(got_f, want, atol=2e-3)
+    np.testing.assert_allclose(got_c, want, atol=2e-3)
+
+
+def test_sigmoid_polyeval(ctx):
+    from fhe_spear_tpu.ops.polyeval import eval_sigmoid
+
+    ctx2 = CkksContext(CkksParams(n=256, num_limbs=9, num_special=1), seed=92)
+    rng = np.random.default_rng(1)
+    t = rng.uniform(-6, 6, ctx2.slots)
+    out = eval_sigmoid(ctx2, ctx2.encrypt(t))
+    want = 1.0 / (1.0 + np.exp(-t))
+    got = ctx2.decrypt_vec(out)
+    assert np.abs(got - want).max() < 5e-3  # ref: 2.3e-3 at deg 13
+
+
+def test_mul_scalar(ctx):
+    rng = np.random.default_rng(2)
+    v = rng.uniform(-1, 1, ctx.slots)
+    out = ctx.rescale(ctx.mul_scalar(ctx.encrypt(v), -1.7))
+    np.testing.assert_allclose(ctx.decrypt_vec(out), -1.7 * v, atol=1e-4)
+
+
+def test_scale_to(ctx):
+    rng = np.random.default_rng(3)
+    v = rng.uniform(-1, 1, ctx.slots)
+    ct = ctx.mul_scalar(ctx.encrypt(v), 1.0, scale=12345.0)  # odd scale
+    out = ctx.scale_to(ct, ctx.scale)
+    assert out.scale == ctx.scale
+    np.testing.assert_allclose(ctx.decrypt_vec(out), v, atol=1e-3)
+
+
+def test_naive_matvec(ctx):
+    from fhe_spear_tpu.models.naive_inference import (
+        naive_matvec, rotation_count_naive)
+
+    rng = np.random.default_rng(4)
+    d_in, d_out = 16, 8
+    w = rng.normal(0, 0.3, (d_in, d_out))
+    x = rng.normal(0, 1, d_in)
+    ct = ctx.encrypt_replicated(np.pad(x, (0, ctx.slots - d_in)))
+    got = naive_matvec(ctx, ct, w, d_in, d_out)
+    np.testing.assert_allclose(got, x @ w, atol=1e-3)
+    # the ablation metric the BSGS engine beats 253x at D=2048
+    assert rotation_count_naive(2048, 2048 * 11) > 22528 * 10
+
+
+def test_serialization_roundtrip(ctx, tmp_path):
+    from fhe_spear_tpu.utils.serialization import (
+        save_ciphertext, load_ciphertext, save_generation_state,
+        load_generation_state)
+    from fhe_spear_tpu.models.rwkv7 import make_random_model
+
+    rng = np.random.default_rng(5)
+    v = rng.uniform(-1, 1, ctx.slots)
+    p = str(tmp_path / "ct.npz")
+    save_ciphertext(p, ctx.encrypt(v))
+    np.testing.assert_allclose(ctx.decrypt_vec(load_ciphertext(p)), v,
+                               atol=1e-4)
+    m = make_random_model(d=16, f=32, n_blocks=2, head_size=8, seed=1)
+    st = m.zero_state()
+    st.wkv[0] += 1.5
+    sp = str(tmp_path / "state.npz")
+    save_generation_state(sp, st, [1, 2, 3])
+    st2, toks = load_generation_state(sp)
+    assert toks == [1, 2, 3]
+    np.testing.assert_array_equal(st2.wkv[0], st.wkv[0])
+
+
+def test_demo_retrieval_agreement():
+    from fhe_spear_tpu.apps.demo import FheSpearRetriever
+
+    ctx = CkksContext(CkksParams(n=256, num_limbs=3, num_special=1), seed=93)
+    passages = [f"passage about {'cats' if i % 3 else 'dogs'} number {i}"
+                for i in range(20)]
+    r = FheSpearRetriever(ctx, dim=16, mode="row").index(passages)
+    enc_top = r.query("passage about dogs", k=1)[0][0]
+    plain_top = int(np.argmax(r.plaintext_scores("passage about dogs")))
+    assert enc_top == plain_top
+
+
+def test_rag_end_to_end():
+    from fhe_spear_tpu.apps.rag import EncryptedRag
+
+    passages = [f"the capital of country {i} is city {i}" for i in range(12)]
+    rag = EncryptedRag(passages, dim=16, d=32, f=64, n_blocks=1, gen_n=256)
+    res = rag.answer("the capital of country 7", num_tokens=2, verbose=False)
+    assert res["token_matches"] == res["num_tokens"]
