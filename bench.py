@@ -41,9 +41,19 @@ def main():
     from fhe_spear_tpu.models.client_aided import run_generation
 
     t0 = time.perf_counter()
-    model = make_random_model(d=d, f=f, n_blocks=num_blocks, head_size=64,
-                              vocab=1000, seed=42)
-    log(f"model built ({time.perf_counter() - t0:.1f}s)")
+    cache = f"/tmp/bench_model_{d}_{f}_{num_blocks}.npz"
+    if os.path.exists(cache):
+        from fhe_spear_tpu.models.rwkv7 import load_model
+
+        model = load_model(cache)
+        log(f"model loaded from cache ({time.perf_counter() - t0:.1f}s)")
+    else:
+        model = make_random_model(d=d, f=f, n_blocks=num_blocks, head_size=64,
+                                  vocab=1000, seed=42)
+        from fhe_spear_tpu.models.rwkv7 import save_model
+
+        save_model(cache, model)
+        log(f"model built ({time.perf_counter() - t0:.1f}s)")
 
     t0 = time.perf_counter()
     ctx = CkksContext(CkksParams(n=n, num_limbs=3, num_special=1), seed=0)

@@ -65,6 +65,10 @@ class FheSpearRetriever:
         self.passages = passages
         embs = self.embed_fn(passages)
         self.z, self.proj = svd_compress(embs, self.dim)
+        if self.z.shape[-1] < self.dim:     # rank-limited tiny corpora
+            pad = self.dim - self.z.shape[-1]
+            self.z = np.pad(self.z, [(0, 0), (0, pad)])
+            self.proj = np.pad(self.proj, [(0, 0), (0, pad)])
         if self.mode == "row":
             self._corpus = (self.eng.encrypt_docs(self.z) if encrypted
                             else self.eng.encode_docs(self.z))

@@ -126,7 +126,9 @@ class Bootstrapper:
 
     @functools.lru_cache(maxsize=None)
     def _batched(self, l):
-        return jax.jit(jax.vmap(self.eng._kernel(l), in_axes=(0, 0)))
+        raw = self.eng._kernel_raw(l)
+        j = jax.jit(jax.vmap(raw, in_axes=(0, 0) + (None,) * 6))
+        return lambda c, pt: j(c, pt, *self.eng._xs(l))
 
     def mod_raise(self, ct: Ciphertext) -> Ciphertext:
         """Level-1 ciphertext -> full-level ciphertext decrypting to

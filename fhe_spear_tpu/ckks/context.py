@@ -151,7 +151,9 @@ class CkksContext:
         )
         self.ntt = NttContext.build(params.n, self.primes)
         self.encoder = SlotEncoder(params.n)
-        self.rng = np.random.default_rng(seed)
+        # legacy RandomState: the PCG64 Generator is pathologically slow
+        # in some numpy builds (50x); MT19937 bulk sampling is not
+        self.rng = np.random.RandomState(seed)
 
         LK = self.L + self.K
         q = np.array([pr.p for pr in self.primes], dtype=np.uint64)
@@ -203,8 +205,8 @@ class CkksContext:
         # --- keys ---
         h = params.secret_hamming_weight
         if h is None:
-            self._sk_coeff = self.rng.integers(-1, 2, size=self.n
-                                               ).astype(np.int64)
+            self._sk_coeff = self.rng.randint(-1, 2, size=self.n
+                                              ).astype(np.int64)
         else:
             self._sk_coeff = np.zeros(self.n, dtype=np.int64)
             pos = self.rng.choice(self.n, size=h, replace=False)
@@ -236,7 +238,7 @@ class CkksContext:
     def _uniform(self, shape_rows, rows) -> np.ndarray:
         """Uniform residues mod q_rows, shape [..., R, N] (R = len(rows))."""
         q = self.q_np[list(rows)]
-        return self.rng.integers(
+        return self.rng.randint(
             0, q[:, None], size=shape_rows + (len(rows), self.n)
         ).astype(np.uint32)
 

@@ -175,11 +175,15 @@ class FheRwkvServer:
 
     @functools.lru_cache(maxsize=None)
     def _kernel_batched(self, l):
-        return jax.jit(jax.vmap(self.eng._kernel(l), in_axes=(0, 0)))
+        raw = self.eng._kernel_raw(l)
+        j = jax.jit(jax.vmap(raw, in_axes=(0, 0) + (None,) * 6))
+        return lambda c, pt: j(c, pt, *self.eng._xs(l))
 
     @functools.lru_cache(maxsize=None)
     def _kernel_shared(self, l):
-        return jax.jit(jax.vmap(self.eng._kernel(l), in_axes=(None, 0)))
+        raw = self.eng._kernel_raw(l)
+        j = jax.jit(jax.vmap(raw, in_axes=(None, 0) + (None,) * 6))
+        return lambda c, pt: j(c, pt, *self.eng._xs(l))
 
     # -- fused round trip --------------------------------------------------
     # encrypt -> BSGS -> partial decrypt in ONE jitted device call: with a
@@ -194,15 +198,19 @@ class FheRwkvServer:
         """m_coeffs: int32 [b, N] encoded inputs.  Returns decrypted
         limb pairs [b, 2, N] uint32 (host finishes with uint64 CRT)."""
         pt = self.load_block(i)[kind]
-        shared = kind == "ffn_key"
-        m = m_coeffs[0] if shared else m_coeffs   # shared: one ct, many mats
+        # per-kind transport shape: "o" is a single ct against a single
+        # matrix; "ffn_key" shares one ct across stacked matrices;
+        # rkv / ffn_val batch both.
+        mode = {"o": "single", "ffn_key": "shared"}.get(kind, "batched")
+        m = m_coeffs[0] if mode in ("single", "shared") else m_coeffs
         key = jax.random.PRNGKey(seed)
-        return np.asarray(
-            self._fused(self.level, m.shape[:-1], shared)(
-                jnp.asarray(m), key, pt))
+        out = np.asarray(
+            self._fused(self.level, m.shape[:-1], mode)(
+                jnp.asarray(m), key, pt, *self.eng._xs(self.level)))
+        return out[None] if mode == "single" else out
 
     @functools.lru_cache(maxsize=None)
-    def _fused(self, l, batch, shared):
+    def _fused(self, l, batch, mode):
         ctx = self.ctx
         ntt = ctx.ntt
         p, pinv = ctx._p(l)
@@ -211,8 +219,11 @@ class FheRwkvServer:
         t32r = jnp.asarray(np.array(
             [(1 << 32) % int(q[i]) * ctx.primes[i].mont_r % int(q[i])
              for i in range(l)], dtype=np.uint64).astype(np.uint32)[:, None])
-        kern = self.eng._kernel(l)
-        kern = jax.vmap(kern, in_axes=((None, 0) if shared else (0, 0)))
+        kern = self.eng._kernel_raw(l)
+        if mode == "shared":
+            kern = jax.vmap(kern, in_axes=(None, 0) + (None,) * 6)
+        elif mode == "batched":
+            kern = jax.vmap(kern, in_axes=(0, 0) + (None,) * 6)
         sigma = ctx.params.noise_sigma
 
         def uniform_mod(key, shape):
@@ -223,7 +234,7 @@ class FheRwkvServer:
             return add_mod(mont_mul(h, t32r, p, pinv),
                            barrett_reduce(lo, p, ctx.mu[:l]), p)
 
-        def f(m, key, pt):
+        def f(m, key, pt, *xs):
             m_eval = rns_expand(ctx, m, l)                 # [b, l, N]
             ka, ke = jax.random.split(key)
             shape = m.shape[:-1]
@@ -235,7 +246,7 @@ class FheRwkvServer:
             c0 = add_mod(add_mod(neg_mod(mont_mul(a, s, p, pinv), p),
                                  m_eval, p), e_eval, p)
             c = jnp.stack([c0, a], axis=-3)                # [b, 2, l, N]
-            out = kern(c, pt)                              # [b, 2, l-1, N]
+            out = kern(c, pt, *xs)                         # [b, 2, l-1, N]
             nl = min(2, l - 1)
             v = add_mod(out[..., 0, :nl, :],
                         mont_mul(out[..., 1, :nl, :], ctx.s_eval[:nl],
@@ -403,8 +414,12 @@ def run_generation(ctx: CkksContext, model: RwkvModel, seed_tokens,
     """Prefill in plaintext, then generate under FHE with a plaintext twin;
     reports per-token match + logit correlation (the reference's
     run_generation oracle loop, scripts/bootstrap_generation.py:1108-1247)."""
+    t0 = time.perf_counter()
     server = FheRwkvServer(ctx, model, level=level)
     client = FheRwkvClient(ctx, model, server, fused=fused)
+    if log_fn is not None:
+        log_fn(f"server init {time.perf_counter() - t0:.1f}s "
+               f"(pre-encode {server.preencode_time:.1f}s, fused={fused})")
 
     st_fhe, st_ref = model.zero_state(), model.zero_state()
     for tok in seed_tokens[:-1]:

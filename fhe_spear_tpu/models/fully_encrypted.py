@@ -119,11 +119,15 @@ class FullyEncryptedFfn:
 
     @functools.lru_cache(maxsize=None)
     def _shared(self, l):
-        return jax.jit(jax.vmap(self.eng._kernel(l), in_axes=(None, 0)))
+        raw = self.eng._kernel_raw(l)
+        j = jax.jit(jax.vmap(raw, in_axes=(None, 0) + (None,) * 6))
+        return lambda c, pt: j(c, pt, *self.eng._xs(l))
 
     @functools.lru_cache(maxsize=None)
     def _batched(self, l):
-        return jax.jit(jax.vmap(self.eng._kernel(l), in_axes=(0, 0)))
+        raw = self.eng._kernel_raw(l)
+        j = jax.jit(jax.vmap(raw, in_axes=(0, 0) + (None,) * 6))
+        return lambda c, pt: j(c, pt, *self.eng._xs(l))
 
     @functools.lru_cache(maxsize=None)
     def _sum_chunks(self, l):

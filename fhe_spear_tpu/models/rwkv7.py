@@ -33,6 +33,8 @@ __all__ = [
     "generate_token_plaintext",
     "make_random_model",
     "load_torch_model",
+    "save_model",
+    "load_model",
 ]
 
 
@@ -242,13 +244,31 @@ def make_random_model(d=64, f=256, n_blocks=2, head_size=16, vocab=64,
                       seed=42) -> RwkvModel:
     """Seeded random weights with realistic magnitudes — decouples FHE
     correctness testing from model downloads (test_fully_enc_bsgs.py:171)."""
-    rng = np.random.default_rng(seed)
+    # legacy RandomState + uniform weights: the PCG64 Generator's normal()
+    # is ~50x slower in some numpy builds, and weight distribution shape is
+    # irrelevant for FHE-correctness testing — match the std only.
+    rs = np.random.RandomState(seed)
     n_head = d // head_size
     lora = min(96, d)
 
+    def _unif(shape, s, loc=0.0):
+        shape = (shape,) if np.isscalar(shape) else tuple(shape)
+        return (rs.rand(*shape) * 2.0 - 1.0) * (s * np.sqrt(3.0)) + loc
+
     def mat(i, o, s=None):
-        s = 1.0 / np.sqrt(i) if s is None else s
-        return rng.normal(0, s, (i, o))
+        return _unif((i, o), 1.0 / np.sqrt(i) if s is None else s)
+
+    class _R:
+        @staticmethod
+        def normal(loc, s, size=None):
+            return _unif(size if size is not None else (), s, loc)
+
+        @staticmethod
+        def uniform(a, b, size=None):
+            shape = (size,) if np.isscalar(size) else tuple(size or ())
+            return rs.rand(*shape) * (b - a) + a
+
+    rng = _R()
 
     blocks = []
     for bi in range(n_blocks):
@@ -340,3 +360,40 @@ def load_torch_model(path: str, d: int, f: int, n_blocks: int) -> RwkvModel:
         ln0_w=np64(w["blocks.0.ln0.weight"][:d]),
         ln0_b=np64(w["blocks.0.ln0.bias"][:d]),
     )
+
+
+def save_model(path: str, model: RwkvModel) -> None:
+    """Cache a (random) model to disk — rebuilding large random models on a
+    weak host costs minutes; loading is IO-bound."""
+    arrs = {"emb": model.emb, "head_w": model.head_w,
+            "ln_out_w": model.ln_out_w, "ln_out_b": model.ln_out_b,
+            "ln0_w": model.ln0_w, "ln0_b": model.ln0_b,
+            "meta": np.array([len(model.blocks)])}
+    for i, b in enumerate(model.blocks):
+        for f in _BLOCK_FIELDS:
+            arrs[f"b{i}_{f}"] = getattr(b, f)
+        arrs[f"b{i}_dims"] = np.array([b.d, b.f, b.n_head, b.head_size])
+    np.savez(path, **arrs)
+
+
+def load_model(path: str) -> RwkvModel:
+    z = np.load(path)
+    nb = int(z["meta"][0])
+    blocks = []
+    for i in range(nb):
+        d, f, nh, hs = (int(v) for v in z[f"b{i}_dims"])
+        blocks.append(RwkvBlockWeights(
+            block_idx=i, d=d, f=f, n_head=nh, head_size=hs,
+            **{fl: z[f"b{i}_{fl}"] for fl in _BLOCK_FIELDS}))
+    return RwkvModel(blocks=blocks, emb=z["emb"], head_w=z["head_w"],
+                     ln_out_w=z["ln_out_w"], ln_out_b=z["ln_out_b"],
+                     ln0_w=z["ln0_w"], ln0_b=z["ln0_b"])
+
+
+_BLOCK_FIELDS = [
+    "ln1_w", "ln1_b", "ln2_w", "ln2_b", "ln_x_w", "ln_x_b",
+    "x_r", "x_k", "x_v", "x_g", "x_w", "x_a", "x_k_ffn",
+    "w0", "w1", "w2", "a0", "a1", "a2", "v0", "v1", "v2", "g1", "g2",
+    "k_k", "k_a", "r_k",
+    "W_r", "W_k", "W_v", "W_o", "W_key_ffn", "W_val_ffn",
+]

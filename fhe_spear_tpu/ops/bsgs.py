@@ -106,6 +106,7 @@ class BsgsMatvec:
         self.baby_steps = tuple(range(1, self.G))
         self.giant_steps = tuple(g * self.G for g in range(1, self.B))
         ctx.ensure_galois(self.baby_steps + self.giant_steps)
+        self._xs_cache: dict = {}
 
     # -- host-side diagonal pre-encoding (reference pre_encode_block) ------
 
@@ -143,21 +144,32 @@ class BsgsMatvec:
         out = self._kernel(l)(ct.c, pt)
         return Ciphertext(out, ct.scale * scale / float(self.ctx.q_np[l - 1]))
 
+    def _xs(self, l: int):
+        """Stacked rotation-key tensors for level l, passed as runtime
+        ARGUMENTS (closure constants would be embedded into the compiled
+        HLO — ~100 MB of constants at D=2048 and minutes of compile time).
+        Returns (baby_perms, baby_kb, baby_ka, giant_perms, giant_kb,
+        giant_ka)."""
+        if l not in self._xs_cache:
+            ctx = self.ctx
+            n = ctx.n
+
+            def stack_keys(steps):
+                perms = np.stack([automorphism_perm(n, ctx.galois_element(s))
+                                  for s in steps]).astype(np.int32)
+                kb, ka = zip(*(ctx.select_key(
+                    ctx.galois_keys[ctx.galois_element(s)], l) for s in steps))
+                return (jnp.asarray(perms), jnp.stack(kb), jnp.stack(ka))
+
+            self._xs_cache[l] = (stack_keys(self.baby_steps)
+                                 + stack_keys(self.giant_steps))
+        return self._xs_cache[l]
+
     @functools.lru_cache(maxsize=None)
-    def _kernel(self, l: int):
+    def _kernel_raw(self, l: int):
+        """kernel(c, pt, bp, bkb, bka, gp, gkb, gka) — all data as args."""
         ctx = self.ctx
-        n = ctx.n
         p, _ = ctx._p(l)
-
-        def stack_keys(steps):
-            perms = np.stack([automorphism_perm(n, ctx.galois_element(s))
-                              for s in steps]).astype(np.int32)
-            kb, ka = zip(*(ctx.select_key(
-                ctx.galois_keys[ctx.galois_element(s)], l) for s in steps))
-            return (jnp.asarray(perms), jnp.stack(kb), jnp.stack(ka))
-
-        baby_xs = stack_keys(self.baby_steps) if self.baby_steps else None
-        giant_xs = stack_keys(self.giant_steps) if self.giant_steps else None
 
         def rotate_with(c, D1, perm, kb, ka):
             """Rotate ct (given its hoisted digits D1) by one stacked key."""
@@ -179,28 +191,34 @@ class BsgsMatvec:
                 prod = add_mod(prod[: m // 2], prod[m // 2:], p)
             return prod[0]
 
-        def kernel(c, pt):
+        def kernel(c, pt, bp, bkb, bka, gp, gkb, gka):
             # hoisted baby rotations
             D1 = ctx._decompose(c[..., 1, :, :], l)
-            if baby_xs is not None:
+            if self.baby_steps:
                 def baby_body(_, xs):
                     return None, rotate_with(c, D1, *xs)
-                _, rot = lax.scan(baby_body, None, baby_xs)
+                _, rot = lax.scan(baby_body, None, (bp, bkb, bka))
                 babies = jnp.concatenate([c[None], rot])        # [G, 2, l, N]
             else:
                 babies = c[None]
             # giant group 0 (no rotation)
             y = contract(babies, pt[0])
-            if giant_xs is not None:
+            if self.giant_steps:
                 def giant_body(y, xs):
                     ptg, perm, kb, ka = xs
                     acc = contract(babies, ptg)
                     D2 = ctx._decompose(acc[..., 1, :, :], l)
                     y = add_mod(y, rotate_with(acc, D2, perm, kb, ka), p)
                     return y, None
-                y, _ = lax.scan(giant_body, y, (pt[1:],) + giant_xs)
+                y, _ = lax.scan(giant_body, y, (pt[1:], gp, gkb, gka))
             return ctx._rescale_core(y, l)
-        return jax.jit(kernel)
+        return kernel
+
+    @functools.lru_cache(maxsize=None)
+    def _kernel(self, l: int):
+        """Convenience single-ct kernel: (c, pt) with keys bound as args."""
+        jitted = jax.jit(self._kernel_raw(l))
+        return lambda c, pt: jitted(c, pt, *self._xs(l))
 
 
 def rns_expand(ctx: CkksContext, coeffs: jnp.ndarray, level: int
