@@ -33,6 +33,8 @@ def main():
     num_tokens = int(os.environ.get("BENCH_TOKENS", "2"))
     baseline = 79.0
 
+    os.environ.setdefault("FHE_PREENC_CACHE", "/tmp/fhe_preenc_cache")
+
     import jax
     log(f"devices: {jax.devices()}")
 

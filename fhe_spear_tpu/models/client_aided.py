@@ -34,6 +34,7 @@ paper/main.tex:1065).
 from __future__ import annotations
 
 import functools
+import os
 import time
 from dataclasses import dataclass
 
@@ -70,7 +71,8 @@ class FheRwkvServer:
     """
 
     def __init__(self, ctx: CkksContext, model: RwkvModel, level: int = 3,
-                 max_cached_blocks: int | None = None):
+                 max_cached_blocks: int | None = None,
+                 cache_dir: str | None = None):
         self.ctx = ctx
         self.level = level
         d, f = model.d, model.blocks[0].f
@@ -86,8 +88,19 @@ class FheRwkvServer:
                                   else max_cached_blocks)
         self._device: dict[int, dict] = {}
         t0 = time.perf_counter()
-        for blk in model.blocks:
-            self.blocks_host.append(self._pre_encode_block(blk))
+        if cache_dir is not None:
+            os.makedirs(cache_dir, exist_ok=True)
+        for bi, blk in enumerate(model.blocks):
+            path = (os.path.join(cache_dir, f"block{bi}_{d}_{f}_{level}.npz")
+                    if cache_dir else None)
+            if path and os.path.exists(path):
+                z = np.load(path)
+                self.blocks_host.append({k: z[k] for k in z.files})
+            else:
+                enc = self._pre_encode_block(blk)
+                if path:
+                    np.savez(path, **enc)
+                self.blocks_host.append(enc)
         self.preencode_time = time.perf_counter() - t0
 
     # -- host pre-encoding (reference pre_encode_block) --------------------
@@ -256,6 +269,74 @@ class FheRwkvServer:
                                  tuple(range(nl)))
         return jax.jit(f)
 
+    # -- stream-batched fused round trips ---------------------------------
+    # Multiple independent generation streams batch through the same
+    # kernels (leading stream axis), multiplying arithmetic intensity at
+    # constant dispatch count — aggregate tokens/s scales ~linearly until
+    # the VPU saturates.  No reference counterpart (single-stream CUDA).
+
+    def fused_project_streams(self, kind: str, i: int, m_coeffs: np.ndarray,
+                              seed: int) -> np.ndarray:
+        """m shapes: rkv [3,S,N]; o [S,N]; ffn_key [S,N]; ffn_val [P,S,N].
+        Returns decrypted limb pairs with matching leading dims."""
+        pt = self.load_block(i)[kind]
+        mode = {"o": "streams", "ffn_key": "mats_shared"}.get(kind,
+                                                              "mat_stream")
+        key = jax.random.PRNGKey(seed)
+        return np.asarray(
+            self._fused_streams(self.level, m_coeffs.shape[:-1], mode)(
+                jnp.asarray(m_coeffs), key, pt, *self.eng._xs(self.level)))
+
+    @functools.lru_cache(maxsize=None)
+    def _fused_streams(self, l, lead, mode):
+        ctx = self.ctx
+        ntt = ctx.ntt
+        p, pinv = ctx._p(l)
+        q = ctx.q_np[:l]
+        t32r = jnp.asarray(np.array(
+            [(1 << 32) % int(q[i]) * ctx.primes[i].mont_r % int(q[i])
+             for i in range(l)], dtype=np.uint64).astype(np.uint32)[:, None])
+        six = (None,) * 6
+        raw = self.eng._kernel_raw(l)
+        inner = jax.vmap(raw, in_axes=(0, None) + six)   # streams
+        if mode == "mat_stream":
+            kern = jax.vmap(inner, in_axes=(0, 0) + six)
+        elif mode == "mats_shared":
+            kern = jax.vmap(inner, in_axes=(None, 0) + six)
+        else:
+            kern = inner
+        sigma = ctx.params.noise_sigma
+
+        def uniform_mod(key, shape):
+            hi = jax.random.bits(key, shape + (l, ctx.n), jnp.uint32)
+            lo = jax.random.bits(jax.random.fold_in(key, 1),
+                                 shape + (l, ctx.n), jnp.uint32)
+            h = barrett_reduce(hi, p, ctx.mu[:l])
+            return add_mod(mont_mul(h, t32r, p, pinv),
+                           barrett_reduce(lo, p, ctx.mu[:l]), p)
+
+        def f(m, key, pt, *xs):
+            m_eval = rns_expand(ctx, m, l)
+            ka, ke = jax.random.split(key)
+            shape = m.shape[:-1]
+            a = uniform_mod(ka, shape)
+            e = jnp.round(jax.random.normal(ke, shape + (ctx.n,)) * sigma
+                          ).astype(jnp.int32)
+            e_eval = rns_expand(ctx, e, l)
+            s = ctx.s_eval[:l]
+            c0 = add_mod(add_mod(neg_mod(mont_mul(a, s, p, pinv), p),
+                                 m_eval, p), e_eval, p)
+            c = jnp.stack([c0, a], axis=-3)
+            out = kern(c, pt, *xs)
+            nl = min(2, l - 1)
+            v = add_mod(out[..., 0, :nl, :],
+                        mont_mul(out[..., 1, :nl, :], ctx.s_eval[:nl],
+                                 ntt.p[:nl], ntt.pinv[:nl]),
+                        ntt.p[:nl])
+            return ntt.from_mont(ntt.intt(v, tuple(range(nl))),
+                                 tuple(range(nl)))
+        return jax.jit(f)
+
 
 class FheRwkvClient:
     """Client side: all nonlinearities in plaintext, normalizes before
@@ -415,7 +496,8 @@ def run_generation(ctx: CkksContext, model: RwkvModel, seed_tokens,
     reports per-token match + logit correlation (the reference's
     run_generation oracle loop, scripts/bootstrap_generation.py:1108-1247)."""
     t0 = time.perf_counter()
-    server = FheRwkvServer(ctx, model, level=level)
+    server = FheRwkvServer(ctx, model, level=level,
+                           cache_dir=os.environ.get("FHE_PREENC_CACHE"))
     client = FheRwkvClient(ctx, model, server, fused=fused)
     if log_fn is not None:
         log_fn(f"server init {time.perf_counter() - t0:.1f}s "
@@ -444,4 +526,141 @@ def run_generation(ctx: CkksContext, model: RwkvModel, seed_tokens,
         elif verbose:
             print(f"  token {step}: ref={tok_ref} fhe={tok_fhe} "
                   f"match={tok_ref == tok_fhe} corr={corr:.6f} {dt:.2f}s")
+    return results
+
+
+class FheRwkvBatchedClient:
+    """S independent generation streams through one fused transport
+    (client math vectorized over the stream axis)."""
+
+    def __init__(self, ctx: CkksContext, model: RwkvModel,
+                 server: FheRwkvServer):
+        self.ctx = ctx
+        self.model = model
+        self.server = server
+        self.level = server.level
+        self.d, self.f = server.d, server.f
+        self._seed = 1 << 20
+
+    def _encode_i32(self, slots):
+        from ..native import batch_encode
+
+        enc = self.ctx.encoder
+        out = batch_encode(np.asarray(slots, dtype=np.complex128),
+                           self.ctx.scale, enc._t_slot, enc._t_conj,
+                           self.ctx.n)
+        if out is None:
+            out = enc.encode(slots, self.ctx.scale).astype(np.int32)
+        return out
+
+    def _project(self, kind, i, slots):
+        ctx = self.ctx
+        self._seed += 1
+        limbs = self.server.fused_project_streams(
+            kind, i, self._encode_i32(slots), self._seed)
+        out_scale = ctx.scale * ctx.scale / float(ctx.q_np[self.level - 1])
+        return ctx.encoder.decode(ctx.compose_coeffs(limbs), out_scale)
+
+    def _tile(self, xs):
+        reps = self.ctx.slots // xs.shape[-1]
+        return np.tile(xs, (1,) * (xs.ndim - 1) + (reps,))
+
+    def block(self, i, x, x_prev_att, x_prev_ffn, state, v_first):
+        blk = self.model.blocks[i]
+        srv, d = self.server, self.d
+        S = x.shape[0]
+
+        x_ln = layer_norm(x, blk.ln1_w, blk.ln1_b)
+        mixes = token_mix(blk, x_ln, x_prev_att)
+        xs = np.stack([mixes["r"], mixes["k"], mixes["v"]])   # [3, S, D]
+        mag = np.maximum(np.abs(xs).max(axis=-1, keepdims=True), 1e-9)
+        rkv = self._project("rkv", i, self._tile(xs / mag)
+                            ).real[..., :d] * mag
+        r, k, v = rkv[0], rkv[1], rkv[2]
+
+        gated, new_state, v, v_first = wkv7_client(blk, r, k, v, mixes,
+                                                   state, v_first)
+        mag_g = np.maximum(np.abs(gated).max(axis=-1, keepdims=True), 1e-9)
+        att = self._project("o", i, self._tile(gated / mag_g)
+                            ).real[..., :d] * mag_g
+
+        x = x + att
+        x_ffn_ln = layer_norm(x, blk.ln2_w, blk.ln2_b)
+        xk_ffn = x_ffn_ln + (x_prev_ffn - x_ffn_ln) * blk.x_k_ffn
+        mag_fk = np.maximum(np.abs(xk_ffn).max(axis=-1, keepdims=True), 1e-9)
+        z = self._project("ffn_key", i, self._tile(xk_ffn / mag_fk))
+        z = z * mag_fk[None]                                  # [P, S, slots]
+        fk = np.zeros((S, srv.n_chunks * d))
+        for p, (c0, c1) in enumerate(srv.key_pairs):
+            fk[:, c0 * d: (c0 + 1) * d] = z[p, :, :d].real
+            if c1 is not None:
+                fk[:, c1 * d: (c1 + 1) * d] = z[p, :, :d].imag
+        fk = np.maximum(fk[:, : self.f], 0.0) ** 2
+
+        pads = []
+        for c0, c1 in srv.key_pairs:
+            x0 = fk[:, c0 * d: (c0 + 1) * d]
+            x0 = np.pad(x0, [(0, 0), (0, d - x0.shape[1])])
+            if c1 is not None:
+                x1 = fk[:, c1 * d: (c1 + 1) * d]
+                x1 = np.pad(x1, [(0, 0), (0, d - x1.shape[1])])
+            else:
+                x1 = np.zeros((S, d))
+            pads.append(x0 + 1j * x1)
+        zp = np.stack(pads)                                   # [P, S, D]
+        mag_v = np.maximum(np.maximum(np.abs(zp.real).max(axis=-1),
+                                      np.abs(zp.imag).max(axis=-1)
+                                      )[..., None], 1e-9)
+        zv = self._project("ffn_val", i, self._tile(zp / mag_v)) * mag_v
+        v_ffn = zv[..., :d].real.sum(axis=0)                  # [S, D]
+
+        x = x + v_ffn
+        return x, x_ln, x_ffn_ln, new_state, v_first
+
+    def generate_token(self, token_ids, state: RwkvState):
+        m = self.model
+        token_ids = np.asarray(token_ids)
+        x = layer_norm(np.array(m.emb[token_ids]), m.ln0_w, m.ln0_b)
+        new = state.copy()
+        v_first = None
+        for i in range(len(m.blocks)):
+            x, xpa, xpf, s, v_first = self.block(
+                i, x, state.x_prev_att[i], state.x_prev_ffn[i],
+                state.wkv[i], v_first)
+            new.x_prev_att[i], new.x_prev_ffn[i], new.wkv[i] = xpa, xpf, s
+        logits = layer_norm(x, m.ln_out_w, m.ln_out_b) @ m.head_w
+        return logits, new
+
+
+def run_generation_batched(ctx, model, seed_tokens, num_tokens, streams=8,
+                           level=3, verbose=True, log_fn=None):
+    """Aggregate-throughput mode: `streams` independent sequences, each
+    verified token-exact against its own plaintext twin."""
+    server = FheRwkvServer(ctx, model, level=level,
+                           cache_dir=os.environ.get("FHE_PREENC_CACHE"))
+    client = FheRwkvBatchedClient(ctx, model, server)
+    rng = np.random.RandomState(7)
+    vocab = model.emb.shape[0]
+    toks = rng.randint(0, vocab, streams)
+
+    st_fhe = model.zero_state(streams)
+    st_ref = model.zero_state(streams)
+    tok_f = tok_r = toks
+    results = []
+    for step in range(num_tokens):
+        logits_r, st_ref = generate_token_plaintext(model, tok_r, st_ref)
+        t0 = time.perf_counter()
+        logits_f, st_fhe = client.generate_token(tok_f, st_fhe)
+        dt = time.perf_counter() - t0
+        tok_r = np.argmax(logits_r, axis=-1)
+        tok_f = np.argmax(logits_f, axis=-1)
+        match = int((tok_f == tok_r).sum())
+        results.append({"match": match, "streams": streams, "sec": dt,
+                        "tokens_per_s": streams / dt})
+        msg = (f"step {step}: {match}/{streams} streams match, {dt:.2f}s "
+               f"({streams / dt:.2f} tok/s aggregate)")
+        if log_fn is not None:
+            log_fn(msg)
+        elif verbose:
+            print("  " + msg)
     return results

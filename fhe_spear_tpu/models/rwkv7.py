@@ -39,15 +39,17 @@ __all__ = [
 
 
 def layer_norm(x, w, b, eps=1e-5):
-    m, v = np.mean(x), np.var(x)
+    m = np.mean(x, axis=-1, keepdims=True)
+    v = np.var(x, axis=-1, keepdims=True)
     return (x - m) / np.sqrt(v + eps) * w + b
 
 
 def group_norm(x, n_groups, w, b, eps=64e-5):
-    g = x.reshape(n_groups, -1)
-    g = (g - g.mean(axis=1, keepdims=True)) / np.sqrt(
-        g.var(axis=1, keepdims=True) + eps)
-    return g.reshape(-1) * w + b
+    s = x.shape
+    g = x.reshape(s[:-1] + (n_groups, -1))
+    g = (g - g.mean(axis=-1, keepdims=True)) / np.sqrt(
+        g.var(axis=-1, keepdims=True) + eps)
+    return g.reshape(s) * w + b
 
 
 def sigmoid(x):
@@ -125,12 +127,13 @@ class RwkvModel:
     def head_size(self):
         return self.blocks[0].head_size
 
-    def zero_state(self):
+    def zero_state(self, streams: int | None = None):
         nb, h, hs = len(self.blocks), self.n_head, self.head_size
+        lead = () if streams is None else (streams,)
         return RwkvState(
-            x_prev_att=[np.zeros(self.d) for _ in range(nb)],
-            x_prev_ffn=[np.zeros(self.d) for _ in range(nb)],
-            wkv=[np.zeros((h, hs, hs)) for _ in range(nb)],
+            x_prev_att=[np.zeros(lead + (self.d,)) for _ in range(nb)],
+            x_prev_ffn=[np.zeros(lead + (self.d,)) for _ in range(nb)],
+            wkv=[np.zeros(lead + (h, hs, hs)) for _ in range(nb)],
         )
 
 
@@ -167,15 +170,17 @@ def wkv7_client(blk: RwkvBlockWeights, r, k, v, mixes, state, v_first):
     Returns (gated_out, new_state, v, v_first_out).
     """
     h, hs = blk.n_head, blk.head_size
-    rh = r.reshape(h, hs)
+    lead = r.shape[:-1]                       # leading stream dims (if any)
+    hsplit = lead + (h, hs)
+    rh = r.reshape(hsplit)
 
     w_vec = sigmoid(blk.w0 + np.tanh(mixes["w"] @ blk.w1) @ blk.w2)
-    decay = np.exp(-np.exp(-0.5) * w_vec.reshape(h, hs))
-    a_h = sigmoid(blk.a0 + (mixes["a"] @ blk.a1) @ blk.a2).reshape(h, hs)
+    decay = np.exp(-np.exp(-0.5) * w_vec.reshape(hsplit))
+    a_h = sigmoid(blk.a0 + (mixes["a"] @ blk.a1) @ blk.a2).reshape(hsplit)
 
-    kk = (k * blk.k_k).reshape(h, hs)
-    kk = kk / (np.linalg.norm(kk, axis=1, keepdims=True) + 1e-12)
-    k_h = k.reshape(h, hs) * (1.0 + (a_h - 1.0) * blk.k_a.reshape(h, hs))
+    kk = (k * blk.k_k).reshape(hsplit)
+    kk = kk / (np.linalg.norm(kk, axis=-1, keepdims=True) + 1e-12)
+    k_h = k.reshape(hsplit) * (1.0 + (a_h - 1.0) * blk.k_a.reshape(h, hs))
 
     if blk.block_idx == 0:
         v_first_out = v.copy()
@@ -183,18 +188,19 @@ def wkv7_client(blk: RwkvBlockWeights, r, k, v, mixes, state, v_first):
         v_gate = sigmoid(blk.v0 + (mixes["v"] @ blk.v1) @ blk.v2)
         v = v + (v_first - v) * v_gate
         v_first_out = v_first
-    v_h = v.reshape(h, hs)
+    v_h = v.reshape(hsplit)
 
     # S <- S*diag(decay) + outer(S @ -kk, kk*a) + outer(v, k); wkv = S @ r
-    sa = np.einsum("hij,hj->hi", state, -kk)
-    new_state = (state * decay[:, None, :]
-                 + sa[:, :, None] * (kk * a_h)[:, None, :]
-                 + v_h[:, :, None] * k_h[:, None, :])
-    wkv = np.einsum("hij,hj->hi", new_state, rh).reshape(-1)
+    sa = np.einsum("...hij,...hj->...hi", state, -kk)
+    new_state = (state * decay[..., None, :]
+                 + sa[..., :, None] * (kk * a_h)[..., None, :]
+                 + v_h[..., :, None] * k_h[..., None, :])
+    wkv = np.einsum("...hij,...hj->...hi", new_state, rh
+                    ).reshape(lead + (h * hs,))
     wkv = group_norm(wkv, h, blk.ln_x_w, blk.ln_x_b)
 
-    bonus = (rh * k_h * blk.r_k).sum(axis=1, keepdims=True) * v_h
-    wkv = wkv + bonus.reshape(-1)
+    bonus = (rh * k_h * blk.r_k).sum(axis=-1, keepdims=True) * v_h
+    wkv = wkv + bonus.reshape(lead + (h * hs,))
 
     g = sigmoid(mixes["g"] @ blk.g1) @ blk.g2
     return wkv * g, new_state, v, v_first_out
@@ -221,10 +227,11 @@ def plaintext_block(blk: RwkvBlockWeights, x, x_prev_att, x_prev_ffn, state,
     return x, x_ln, x_ffn_ln, new_state, v_first
 
 
-def generate_token_plaintext(model: RwkvModel, token_id: int,
+def generate_token_plaintext(model: RwkvModel, token_id,
                              state: RwkvState):
-    """One plaintext token step; mutates a copy of state, returns logits."""
-    x = layer_norm(model.emb[token_id].copy(), model.ln0_w, model.ln0_b)
+    """One plaintext token step; mutates a copy of state, returns logits.
+    token_id may be an int or an int array [streams] (batched mode)."""
+    x = layer_norm(np.array(model.emb[token_id]), model.ln0_w, model.ln0_b)
     new = state.copy()
     v_first = None
     for i, blk in enumerate(model.blocks):

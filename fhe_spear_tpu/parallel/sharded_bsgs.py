@@ -86,7 +86,8 @@ class ShardedBsgsMatvec:
             kb, ka = zip(*(ctx.select_key(k, l) for k in keys))
             return (jnp.asarray(perms), jnp.stack(kb), jnp.stack(ka))
 
-        baby_xs = stack_keys(range(1, self.G)) if self.G > 1 else None
+        baby_xs = (stack_keys(range(1, self.G)) if self.G > 1
+                   else (jnp.zeros((0, n), jnp.int32),) * 3)
         # all B giant steps, including g=0 via the identity key
         giant_xs = stack_keys([g * self.G for g in range(self.B)])
 
@@ -108,13 +109,13 @@ class ShardedBsgsMatvec:
                 prod = add_mod(prod[: m // 2], prod[m // 2:], p)
             return prod[0]
 
-        def body(c, pt_l, gperm_l, gkb_l, gka_l):
+        def body(c, pt_l, bp, bkb, bka, gperm_l, gkb_l, gka_l):
             # replicated: hoisted baby rotations
             D1 = ctx._decompose(c[..., 1, :, :], l)
-            if baby_xs is not None:
+            if self.G > 1:
                 _, rot = lax.scan(
                     lambda _, xs: (None, rotate_with(c, D1, *xs)), None,
-                    baby_xs)
+                    (bp, bkb, bka))
                 babies = jnp.concatenate([c[None], rot])
             else:
                 babies = c[None]
@@ -136,11 +137,13 @@ class ShardedBsgsMatvec:
         ax = self.axis
         f = shard_map(
             body, mesh=self.mesh,
-            in_specs=(P(), P(ax), P(ax), P(ax), P(ax)),
+            in_specs=(P(), P(ax), P(), P(), P(), P(ax), P(ax), P(ax)),
             out_specs=P(),
             check_rep=False,
         )
 
         def kernel(c, pt):
-            return f(c, pt, *giant_xs)
+            # keys passed as runtime args (replicated baby keys, sharded
+            # giant keys) — not HLO constants
+            return f(c, pt, *baby_xs, *giant_xs)
         return jax.jit(kernel)

@@ -123,3 +123,12 @@ def test_rag_end_to_end():
     rag = EncryptedRag(passages, dim=16, d=32, f=64, n_blocks=1, gen_n=256)
     res = rag.answer("the capital of country 7", num_tokens=2, verbose=False)
     assert res["token_matches"] == res["num_tokens"]
+
+
+def test_batched_streams_match_plaintext(ctx, model):
+    from fhe_spear_tpu.models.client_aided import run_generation_batched
+
+    results = run_generation_batched(ctx, model, None, num_tokens=2,
+                                     streams=3, level=3, verbose=False)
+    for r in results:
+        assert r["match"] == r["streams"], results
