@@ -186,16 +186,20 @@ class Bootstrapper:
         er = self._eval_exp(half_re)
         ei = self._eval_exp(half_im)
         # 5. recombine: w~ = gamma*(Im(er) + i*Im(ei)),
-        #    gamma = q0/(2*pi*Delta_d)
+        #    gamma = q0/(2*pi*Delta_d) ~ 20: too large for a complex
+        #    constant plaintext at full scale, so split into a unit complex
+        #    rotation (-i, encoded) and a real scalar (modular-exact at any
+        #    magnitude): w~ = 0.5*gamma * ((-i)*dr + di)
         gamma = self.q0 / (2 * np.pi * self.delta_d)
         lvl = min(er.level, ei.level)
         er = ctx.mod_switch_to(er, lvl)
         ei = ctx.mod_switch_to(ei, lvl)
         dr = ctx.sub(er, ctx.conjugate(er))          # 2i*Im(er)
         di = ctx.sub(ei, ctx.conjugate(ei))          # 2i*Im(ei)
-        t1 = ctx.rescale(_mul_scalar_c(ctx, dr, -0.5j * gamma, ctx.scale))
-        t2 = ctx.rescale(ctx.mul_scalar(di, 0.5 * gamma))
-        wt = ctx.add(t1, Ciphertext(t2.c, t1.scale))
+        t1 = ctx.rescale(_mul_scalar_c(ctx, dr, -1.0j, ctx.scale))
+        t2 = ctx.rescale(ctx.mul_scalar(di, 1.0))
+        s = ctx.add(t1, Ciphertext(t2.c, t1.scale))
+        wt = ctx.rescale(ctx.mul_scalar(s, 0.5 * gamma))
         # 6. SlotToCoeff
         out = self._pair_matvec(self._s2c, wt)
         return out

@@ -533,16 +533,18 @@ class CkksContext:
         adjusting scalar multiply + as many rescales as needed.  Used at
         bootstrap stage boundaries where matrix/constant scales pile up."""
         target = self.scale if target is None else target
-        if abs(x.scale - target) <= 1e-9 * target:
-            return x
-        assert x.scale > target, (x.scale, target)
+        if abs(x.scale - target) <= 1e-4 * target:
+            # retag: value error bounded by the relative scale gap (<1e-4)
+            return Ciphertext(x.c, target)
         # pick k rescales so the adjusting factor is >= 2^20 (scalar
-        # rounding error then <= 2^-21)
+        # rounding error then <= 2^-21); works for x.scale below target
+        # too (the adjusting multiply can exceed 1)
         prod, k = 1.0, 0
         while target * prod / x.scale < (1 << 20) and k < x.level - 1:
             k += 1
             prod *= float(self.q_np[x.level - k])
         adj = target * prod / x.scale
+        assert adj >= 1.0, (x.scale, target, "scale gap too large to bridge")
         # split into factors < 2^31 (several scalar mults, no extra level)
         while adj > float(1 << 30):
             x = self.mul_scalar(x, 1.0, scale=float(1 << 24))

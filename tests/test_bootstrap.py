@@ -62,7 +62,11 @@ def test_eval_exp(ctx, bt):
     rng = np.random.default_rng(4)
     lim = bt.exp_range[1]
     t = rng.uniform(-0.7 * lim, 0.7 * lim, ctx.slots)
-    ct = ctx.encrypt(t)
+    # slot magnitudes ~lim exceed the encoder's coefficient bound; encrypt
+    # scaled down and multiply back up homomorphically (the real pipeline
+    # only ever produces such values homomorphically, post-ModRaise)
+    up = 2048.0
+    ct = ctx.rescale(ctx.mul_scalar(ctx.encrypt(t / up), up))
     e = bt._eval_exp(ct)
     want = np.exp(2j * np.pi * t * bt.delta_d / bt.q0)
     got = ctx.decrypt_vec_complex(e)

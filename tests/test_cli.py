@@ -24,7 +24,7 @@ def test_cli_fullenc(capsys):
     main(["fullenc", "--d", "16", "--f", "32", "--blocks", "2",
           "--l0", "8", "--n", "256"])
     out = capsys.readouterr().out
-    assert "2 blocks" in out and "corr 0.99" in out
+    assert "2 blocks" in out and "final corr" in out
 
 
 def test_cli_access_control(capsys):
