@@ -83,3 +83,28 @@ def test_full_bootstrap(ctx, bt):
     assert err < 0.05, err                          # ref band: < 0.1
     corr = np.corrcoef(got, m)[0, 1]
     assert corr > 0.999, corr
+
+
+def test_fully_encrypted_chain_with_bootstrap():
+    """Blocks past modulus depletion: refresh mid-chain, stay correlated
+    (the reference's bootstrap-when-depleted loop,
+    test_fully_enc_bsgs.py:238-267).  26 limbs run 8 blocks (3 levels
+    each), bootstrap refreshes to ~8 limbs, then one more block runs."""
+    from fhe_spear_tpu.ckks.bootstrap import Bootstrapper
+    from fhe_spear_tpu.models.fully_encrypted import run_fully_encrypted
+
+    ctx2 = CkksContext(
+        CkksParams(n=128, num_limbs=26, num_special=2,
+                   secret_hamming_weight=16), seed=82)
+    bt2 = Bootstrapper(ctx2, exp_degree=23)
+    rng = np.random.default_rng(9)
+    d, f, nb = 16, 32, 9
+    wk = [rng.normal(0, 0.1, (d, f)) for _ in range(nb)]
+    wv = [rng.normal(0, 0.1, (f, d)) for _ in range(nb)]
+    x0 = rng.normal(0, 0.3, d)
+    stats = run_fully_encrypted(ctx2, wk, wv, x0, bootstrap_fn=bt2.bootstrap,
+                                min_levels=4, verbose=False)
+    assert len(stats) == nb, [s["block"] for s in stats]
+    assert stats[-1]["bootstraps"] >= 1
+    for s in stats:
+        assert s["corr"] > 0.98, stats
