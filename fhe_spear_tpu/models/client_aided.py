@@ -513,7 +513,7 @@ def run_generation(ctx: CkksContext, model: RwkvModel, seed_tokens,
     for step in range(num_tokens):
         logits_ref, st_ref = generate_token_plaintext(model, tok_ref, st_ref)
         t0 = time.perf_counter()
-        logits_fhe, st_fhe, _ = client.generate_token(tok_fhe, st_fhe)
+        logits_fhe, st_fhe, timings = client.generate_token(tok_fhe, st_fhe)
         dt = time.perf_counter() - t0
         tok_ref = int(np.argmax(logits_ref))
         tok_fhe = int(np.argmax(logits_fhe))
@@ -523,6 +523,12 @@ def run_generation(ctx: CkksContext, model: RwkvModel, seed_tokens,
         if log_fn is not None:
             log_fn(f"token {step}: ref={tok_ref} fhe={tok_fhe} "
                    f"match={tok_ref == tok_fhe} corr={corr:.6f} {dt:.2f}s")
+            agg = {}
+            for bt in timings:
+                for k, v in bt.items():
+                    agg[k] = agg.get(k, 0.0) + v
+            log_fn("  phases: " + " ".join(
+                f"{k}={v:.3f}s" for k, v in sorted(agg.items())))
         elif verbose:
             print(f"  token {step}: ref={tok_ref} fhe={tok_fhe} "
                   f"match={tok_ref == tok_fhe} corr={corr:.6f} {dt:.2f}s")

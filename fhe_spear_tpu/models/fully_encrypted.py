@@ -188,3 +188,55 @@ def run_fully_encrypted(ctx: CkksContext, w_keys, w_vals, x0,
             print(f"  block {b}: corr={corr:.10f} max_err={err:.2e} "
                   f"level={ct.level} {dt:.2f}s")
     return stats
+
+
+class FullyEncryptedTimeMix:
+    """Fully-encrypted time-mix block (SURVEY.md C5 tail,
+    /root/reference/fhe_rwkv_inference.py:728-887): the sigmoid gate is the
+    linear surrogate 0.25x + 0.5 with the 0.25 folded into W_r, then the
+    (r * k) * v CT-CT chain with level-aligned accumulation and the W_o
+    output projection + residual.  ~6 levels/block (reference: 7 —
+    BSGS matvecs here are 1 level each vs the reference's naive dots).
+
+    Oracle: x + W_o @ (((0.25*(W_r x)+0.5) * (W_k x)) * (W_v x)).
+    """
+
+    def __init__(self, ctx: CkksContext, d: int):
+        self.ctx = ctx
+        self.d = d
+        self.eng = BsgsMatvec(ctx, d)
+
+    @staticmethod
+    def oracle(x, w_r, w_k, w_v, w_o):
+        r = 0.25 * (x @ w_r) + 0.5
+        return x + ((r * (x @ w_k)) * (x @ w_v)) @ w_o
+
+    def encode_block(self, w_r, w_k, w_v, w_o):
+        enc = self.eng.encode
+        return {"rkv": np.stack([enc(0.25 * w_r.T).coeffs,
+                                 enc(w_k.T).coeffs, enc(w_v.T).coeffs]),
+                "o": enc(w_o.T).coeffs}
+
+    def __call__(self, ct_x: Ciphertext, host: dict) -> Ciphertext:
+        ctx, l = self.ctx, ct_x.level
+        assert l >= 5, f"need >= 5 limbs, have {l}"
+        q = ctx.q_np
+        pt3 = _load_coeffs(ctx, jnp.asarray(host["rkv"]), l)
+        raw = self.eng._kernel_raw(l)
+        kern = jax.jit(jax.vmap(raw, in_axes=(None, 0) + (None,) * 6))
+        rkv = kern(ct_x.c, pt3, *self.eng._xs(l))       # [3, 2, l-1, N]
+        s1 = ct_x.scale * ctx.scale / float(q[l - 1])
+        r = Ciphertext(rkv[0], s1)
+        k = Ciphertext(rkv[1], s1)
+        v = Ciphertext(rkv[2], s1)
+        # r~ = 0.25 Wr x + 0.5 (the 0.25 is already folded into the diags)
+        half = ctx.encode(np.full(ctx.slots, 0.5), level=r.level,
+                          scale=r.scale)
+        r = ctx.add_plain(r, half)
+        rk = ctx.rescale(ctx.multiply(r, k))            # l-2
+        rkv_ct = ctx.rescale(ctx.multiply(rk, ctx.mod_switch_to(v, rk.level)))
+        # W_o projection at l-3 -> l-4
+        pto = _load_coeffs(ctx, jnp.asarray(host["o"]), rkv_ct.level)
+        out = self.eng(rkv_ct, pto)
+        x_al = ctx.mod_switch_to(ct_x, out.level)
+        return ctx.add(x_al, ctx.set_scale(out, x_al.scale))

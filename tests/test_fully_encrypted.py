@@ -42,3 +42,21 @@ def test_two_blocks_match_oracle(ctx):
         assert s["corr"] > 0.999, stats
         assert s["max_err"] < 1e-2, stats
     assert stats[-1]["level"] == ctx.L - 6
+
+
+def test_timemix_block():
+    from fhe_spear_tpu.models.fully_encrypted import FullyEncryptedTimeMix
+
+    ctx = CkksContext(CkksParams(n=256, num_limbs=6, num_special=1), seed=52)
+    rng = np.random.default_rng(11)
+    d = 32
+    w = [rng.normal(0, 1 / np.sqrt(d), (d, d)) for _ in range(4)]
+    x = rng.normal(0, 0.5, d)
+    eng = FullyEncryptedTimeMix(ctx, d)
+    ct = ctx.encrypt_replicated(x)
+    out = eng(ct, eng.encode_block(*w))
+    want = eng.oracle(x, *w)
+    got = ctx.decrypt_vec(out, d)
+    corr = np.corrcoef(got, want)[0, 1]
+    assert corr > 0.999, corr
+    np.testing.assert_allclose(got, want, atol=5e-3)
