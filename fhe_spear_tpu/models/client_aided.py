@@ -72,7 +72,7 @@ class FheRwkvServer:
 
     def __init__(self, ctx: CkksContext, model: RwkvModel, level: int = 3,
                  max_cached_blocks: int | None = None,
-                 cache_dir: str | None = None):
+                 cache_dir: str | None = None, stage_mode: str = "expanded"):
         self.ctx = ctx
         self.level = level
         d, f = model.d, model.blocks[0].f
@@ -86,6 +86,10 @@ class FheRwkvServer:
         # HBM as allowed and restage the rest per use)
         self.max_cached_blocks = (len(model.blocks) if max_cached_blocks is None
                                   else max_cached_blocks)
+        # "expanded": stage NTT/Mont residues ([B,G,l,N], 3x memory, no
+        # per-call expansion).  "i32": keep int32 coefficient diagonals in
+        # HBM and expand inside the kernel (fits 24 blocks at D=2048).
+        self.stage_mode = stage_mode
         self._device: dict[int, dict] = {}
         t0 = time.perf_counter()
         if cache_dir is not None:
@@ -155,8 +159,11 @@ class FheRwkvServer:
             # cyclically, so FIFO == LRU here)
             self._device.pop(next(iter(self._device)))
         host = self.blocks_host[i]
-        staged = {k: _load_coeffs(self.ctx, jnp.asarray(v), self.level)
-                  for k, v in host.items()}
+        if self.stage_mode == "i32":
+            staged = {k: jnp.asarray(v) for k, v in host.items()}
+        else:
+            staged = {k: _load_coeffs(self.ctx, jnp.asarray(v), self.level)
+                      for k, v in host.items()}
         self._device[i] = staged
         return staged
 
@@ -164,6 +171,8 @@ class FheRwkvServer:
 
     def project_rkv(self, i: int, ct3: Ciphertext) -> Ciphertext:
         """Batched r/k/v: ct3 holds [3, 2, l, N]."""
+        assert self.stage_mode == "expanded", \
+            "classic transport needs expanded staging"
         return self._batched_matvec(ct3, self.load_block(i)["rkv"])
 
     def project_o(self, i: int, ct: Ciphertext) -> Ciphertext:
@@ -218,12 +227,12 @@ class FheRwkvServer:
         m = m_coeffs[0] if mode in ("single", "shared") else m_coeffs
         key = jax.random.PRNGKey(seed)
         out = np.asarray(
-            self._fused(self.level, m.shape[:-1], mode)(
+            self._fused(self.level, m.shape[:-1], mode, self.stage_mode)(
                 jnp.asarray(m), key, pt, *self.eng._xs(self.level)))
         return out[None] if mode == "single" else out
 
     @functools.lru_cache(maxsize=None)
-    def _fused(self, l, batch, mode):
+    def _fused(self, l, batch, mode, _stage=None):
         ctx = self.ctx
         ntt = ctx.ntt
         p, pinv = ctx._p(l)
@@ -232,7 +241,8 @@ class FheRwkvServer:
         t32r = jnp.asarray(np.array(
             [(1 << 32) % int(q[i]) * ctx.primes[i].mont_r % int(q[i])
              for i in range(l)], dtype=np.uint64).astype(np.uint32)[:, None])
-        kern = self.eng._kernel_raw(l)
+        kern = (self.eng._kernel_raw_i32(l) if self.stage_mode == "i32"
+                else self.eng._kernel_raw(l))
         if mode == "shared":
             kern = jax.vmap(kern, in_axes=(None, 0) + (None,) * 6)
         elif mode == "batched":
@@ -284,11 +294,12 @@ class FheRwkvServer:
                                                               "mat_stream")
         key = jax.random.PRNGKey(seed)
         return np.asarray(
-            self._fused_streams(self.level, m_coeffs.shape[:-1], mode)(
+            self._fused_streams(self.level, m_coeffs.shape[:-1], mode,
+                                self.stage_mode)(
                 jnp.asarray(m_coeffs), key, pt, *self.eng._xs(self.level)))
 
     @functools.lru_cache(maxsize=None)
-    def _fused_streams(self, l, lead, mode):
+    def _fused_streams(self, l, lead, mode, _stage=None):
         ctx = self.ctx
         ntt = ctx.ntt
         p, pinv = ctx._p(l)
@@ -297,7 +308,8 @@ class FheRwkvServer:
             [(1 << 32) % int(q[i]) * ctx.primes[i].mont_r % int(q[i])
              for i in range(l)], dtype=np.uint64).astype(np.uint32)[:, None])
         six = (None,) * 6
-        raw = self.eng._kernel_raw(l)
+        raw = (self.eng._kernel_raw_i32(l) if self.stage_mode == "i32"
+               else self.eng._kernel_raw(l))
         inner = jax.vmap(raw, in_axes=(0, None) + six)   # streams
         if mode == "mat_stream":
             kern = jax.vmap(inner, in_axes=(0, 0) + six)
@@ -496,8 +508,12 @@ def run_generation(ctx: CkksContext, model: RwkvModel, seed_tokens,
     reports per-token match + logit correlation (the reference's
     run_generation oracle loop, scripts/bootstrap_generation.py:1108-1247)."""
     t0 = time.perf_counter()
-    server = FheRwkvServer(ctx, model, level=level,
-                           cache_dir=os.environ.get("FHE_PREENC_CACHE"))
+    mc = os.environ.get("FHE_MAX_CACHED_BLOCKS")
+    server = FheRwkvServer(
+        ctx, model, level=level,
+        max_cached_blocks=int(mc) if mc else None,
+        cache_dir=os.environ.get("FHE_PREENC_CACHE"),
+        stage_mode=os.environ.get("FHE_STAGE_MODE", "expanded"))
     client = FheRwkvClient(ctx, model, server, fused=fused)
     if log_fn is not None:
         log_fn(f"server init {time.perf_counter() - t0:.1f}s "
@@ -642,8 +658,12 @@ def run_generation_batched(ctx, model, seed_tokens, num_tokens, streams=8,
                            level=3, verbose=True, log_fn=None):
     """Aggregate-throughput mode: `streams` independent sequences, each
     verified token-exact against its own plaintext twin."""
-    server = FheRwkvServer(ctx, model, level=level,
-                           cache_dir=os.environ.get("FHE_PREENC_CACHE"))
+    mc = os.environ.get("FHE_MAX_CACHED_BLOCKS")
+    server = FheRwkvServer(
+        ctx, model, level=level,
+        max_cached_blocks=int(mc) if mc else None,
+        cache_dir=os.environ.get("FHE_PREENC_CACHE"),
+        stage_mode=os.environ.get("FHE_STAGE_MODE", "expanded"))
     client = FheRwkvBatchedClient(ctx, model, server)
     rng = np.random.RandomState(7)
     vocab = model.emb.shape[0]

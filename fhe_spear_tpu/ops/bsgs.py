@@ -220,6 +220,19 @@ class BsgsMatvec:
         jitted = jax.jit(self._kernel_raw(l))
         return lambda c, pt: jitted(c, pt, *self._xs(l))
 
+    @functools.lru_cache(maxsize=None)
+    def _kernel_raw_i32(self, l: int):
+        """Like _kernel_raw but takes int32 coefficient-domain diagonals
+        [B, G, N] and expands them to NTT/Mont residues inside the kernel.
+        ~2x the kernel arithmetic, but diagonals stay int32 in HBM (4x
+        smaller: a full 24-block D=2048 model fits on one chip)."""
+        raw = self._kernel_raw(l)
+        ctx = self.ctx
+
+        def kernel(c, pt_i32, *xs):
+            return raw(c, rns_expand(ctx, pt_i32, l), *xs)
+        return kernel
+
 
 def rns_expand(ctx: CkksContext, coeffs: jnp.ndarray, level: int
                ) -> jnp.ndarray:

@@ -132,3 +132,21 @@ def test_batched_streams_match_plaintext(ctx, model):
                                      streams=3, level=3, verbose=False)
     for r in results:
         assert r["match"] == r["streams"], results
+
+
+def test_i32_stage_mode_matches(ctx, model):
+    """In-kernel RNS expansion (HBM-resident int32 diagonals) must agree
+    with pre-expanded staging."""
+    from fhe_spear_tpu.models.rwkv7 import plaintext_block
+
+    server = FheRwkvServer(ctx, model, level=3, stage_mode="i32")
+    client = FheRwkvClient(ctx, model, server, fused=True)
+    rng = np.random.default_rng(12)
+    d = model.d
+    x = rng.normal(0, 1, d)
+    xpa, xpf = rng.normal(0, 1, d), rng.normal(0, 1, d)
+    state = rng.normal(0, 0.3, (model.n_head, model.head_size,
+                                model.head_size))
+    want = plaintext_block(model.blocks[0], x, xpa, xpf, state, None)[0]
+    got = client.block(0, x, xpa, xpf, state, None)[0]
+    np.testing.assert_allclose(got, want, atol=2e-3)
