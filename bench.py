@@ -43,7 +43,7 @@ def main():
     from fhe_spear_tpu.models.client_aided import run_generation
 
     t0 = time.perf_counter()
-    cache = f"/tmp/bench_model_{d}_{f}_{num_blocks}.npz"
+    cache = f"/tmp/bench_model_{d}_{f}_{num_blocks}.dir"
     if os.path.exists(cache):
         from fhe_spear_tpu.models.rwkv7 import load_model
 

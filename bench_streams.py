@@ -34,7 +34,7 @@ def main():
         save_model
     from fhe_spear_tpu.models.client_aided import run_generation_batched
 
-    cache = f"/tmp/bench_model_{d}_{f}_{num_blocks}.npz"
+    cache = f"/tmp/bench_model_{d}_{f}_{num_blocks}.dir"
     t0 = time.perf_counter()
     if os.path.exists(cache):
         model = load_model(cache)

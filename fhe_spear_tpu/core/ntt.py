@@ -168,6 +168,60 @@ class NttContext:
             return table
         return table[jnp.asarray(np.asarray(rows, dtype=np.int32))]
 
+    # -- table-passing forms (for shard_map bodies, where the limb subset
+    #    is device-dependent and tables arrive as sharded arguments) ------
+
+    def tables(self, rows=None) -> dict:
+        """Bundle the per-limb tables (selectable, shardable pytree)."""
+        return {
+            "p": self._sel(self.p, rows), "pinv": self._sel(self.pinv, rows),
+            "psi": self._sel(self.psi, rows),
+            "psi_inv_n": self._sel(self.psi_inv_n, rows),
+            "fwd_tw": tuple(self._sel(t, rows) for t in self.fwd_tw),
+            "inv_tw": tuple(self._sel(t, rows) for t in self.inv_tw),
+        }
+
+    @staticmethod
+    def ntt_t(x: jnp.ndarray, tb: dict) -> jnp.ndarray:
+        """Forward NTT with explicit tables; x [..., R, N]."""
+        from .modops import mont_mul, add_mod, sub_mod
+
+        lead = x.shape[:-2]
+        R, n = x.shape[-2:]
+        logn = n.bit_length() - 1
+        p, pinv = tb["p"], tb["pinv"]
+        p3, pinv3 = p[:, :, None], pinv[:, :, None]
+        x = mont_mul(x, tb["psi"], p, pinv)
+        x = x.reshape(lead + (R, 1, n))
+        for s in range(logn):
+            half = n >> (s + 1)
+            lo, hi = x[..., :half], x[..., half:]
+            u = add_mod(lo, hi, p3)
+            v = mont_mul(sub_mod(lo, hi, p3), tb["fwd_tw"][s], p3, pinv3)
+            x = jnp.stack([u, v], axis=-2).reshape(lead + (R, 2 << s, half))
+        return x.reshape(lead + (R, n))
+
+    @staticmethod
+    def intt_t(y: jnp.ndarray, tb: dict) -> jnp.ndarray:
+        """Inverse NTT with explicit tables; y [..., R, N]."""
+        from .modops import mont_mul, add_mod, sub_mod
+
+        lead = y.shape[:-2]
+        R, n = y.shape[-2:]
+        logn = n.bit_length() - 1
+        p, pinv = tb["p"], tb["pinv"]
+        p3, pinv3 = p[:, :, None], pinv[:, :, None]
+        x = y.reshape(lead + (R, n, 1))
+        for s in range(logn - 1, -1, -1):
+            half = n >> (s + 1)
+            x = x.reshape(lead + (R, 1 << s, 2, half))
+            u, v = x[..., 0, :], x[..., 1, :]
+            t = mont_mul(v, tb["inv_tw"][s], p3, pinv3)
+            x = jnp.concatenate([add_mod(u, t, p3), sub_mod(u, t, p3)],
+                                axis=-1)
+        x = x.reshape(lead + (R, n))
+        return mont_mul(x, tb["psi_inv_n"], p, pinv)
+
     def ntt(self, x: jnp.ndarray, rows=None) -> jnp.ndarray:
         """Forward negacyclic NTT.  x: [..., R, N] Mont -> [..., R, N] Mont."""
         from .modops import mont_mul, add_mod, sub_mod

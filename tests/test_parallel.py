@@ -48,3 +48,22 @@ def test_sharded_matches_single_chip(ctx):
     y2 = sharded(ct, sharded.load(enc, ctx.L))
     np.testing.assert_allclose(ctx.decrypt_vec(y1, d), ctx.decrypt_vec(y2, d),
                                atol=1e-4)
+
+
+def test_limb_sharded_rotate_bitwise_exact():
+    """Limb-sharded keyswitch must produce the exact same ciphertext as the
+    single-chip path (deterministic arithmetic, no approximation)."""
+    from fhe_spear_tpu.parallel.limb_sharded import LimbShardedRotator
+
+    ctx = CkksContext(CkksParams(n=256, num_limbs=8, num_special=1), seed=43)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("limb",))
+    ctx.ensure_galois([3])
+    rot = LimbShardedRotator(ctx, mesh, level=8)
+    rng = np.random.default_rng(5)
+    v = rng.uniform(-1, 1, ctx.slots)
+    ct = ctx.encrypt(v)
+    want = ctx.rotate(ct, 3)
+    got = rot.rotate(ct, 3)
+    np.testing.assert_array_equal(np.asarray(got.c), np.asarray(want.c))
+    np.testing.assert_allclose(ctx.decrypt_vec(got), np.roll(v, -3),
+                               atol=1e-4)
