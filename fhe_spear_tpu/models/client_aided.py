@@ -241,12 +241,27 @@ class FheRwkvServer:
         t32r = jnp.asarray(np.array(
             [(1 << 32) % int(q[i]) * ctx.primes[i].mont_r % int(q[i])
              for i in range(l)], dtype=np.uint64).astype(np.uint32)[:, None])
-        kern = (self.eng._kernel_raw_i32(l) if self.stage_mode == "i32"
-                else self.eng._kernel_raw(l))
+        i32 = self.stage_mode == "i32"
+        kern_one = (self.eng._kernel_raw_i32(l) if i32
+                    else self.eng._kernel_raw(l))
+        # i32 mode: sequential lax.map over the matrix axis so only ONE
+        # matrix's expanded residues are live at a time (vmap would
+        # materialize the whole stack and blow HBM at 24 resident blocks)
         if mode == "shared":
-            kern = jax.vmap(kern, in_axes=(None, 0) + (None,) * 6)
+            if i32:
+                def kern(c, pt, *xs):
+                    return jax.lax.map(lambda q: kern_one(c, q, *xs), pt)
+            else:
+                kern = jax.vmap(kern_one, in_axes=(None, 0) + (None,) * 6)
         elif mode == "batched":
-            kern = jax.vmap(kern, in_axes=(0, 0) + (None,) * 6)
+            if i32:
+                def kern(c, pt, *xs):
+                    return jax.lax.map(
+                        lambda cq: kern_one(cq[0], cq[1], *xs), (c, pt))
+            else:
+                kern = jax.vmap(kern_one, in_axes=(0, 0) + (None,) * 6)
+        else:
+            kern = kern_one
         sigma = ctx.params.noise_sigma
 
         def uniform_mod(key, shape):
