@@ -370,31 +370,38 @@ def load_torch_model(path: str, d: int, f: int, n_blocks: int) -> RwkvModel:
 
 
 def save_model(path: str, model: RwkvModel) -> None:
-    """Cache a (random) model to disk — rebuilding large random models on a
-    weak host costs minutes; loading is IO-bound."""
-    arrs = {"emb": model.emb, "head_w": model.head_w,
-            "ln_out_w": model.ln_out_w, "ln_out_b": model.ln_out_b,
-            "ln0_w": model.ln0_w, "ln0_b": model.ln0_b,
-            "meta": np.array([len(model.blocks)])}
+    """Cache a model as a directory of raw .npy files — np.load of a
+    multi-GB npz is CRC-bound (slower than regenerating on a weak host);
+    bare .npy files load via mmap with no checksum pass."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    np.save(os.path.join(path, "meta.npy"), np.array([len(model.blocks)]))
+    for name in ("emb", "head_w", "ln_out_w", "ln_out_b", "ln0_w", "ln0_b"):
+        np.save(os.path.join(path, name + ".npy"), getattr(model, name))
     for i, b in enumerate(model.blocks):
+        np.save(os.path.join(path, f"b{i}_dims.npy"),
+                np.array([b.d, b.f, b.n_head, b.head_size]))
         for f in _BLOCK_FIELDS:
-            arrs[f"b{i}_{f}"] = getattr(b, f)
-        arrs[f"b{i}_dims"] = np.array([b.d, b.f, b.n_head, b.head_size])
-    np.savez(path, **arrs)
+            np.save(os.path.join(path, f"b{i}_{f}.npy"), getattr(b, f))
 
 
 def load_model(path: str) -> RwkvModel:
-    z = np.load(path)
-    nb = int(z["meta"][0])
+    import os
+
+    ld = lambda name: np.load(os.path.join(path, name + ".npy"),
+                              mmap_mode="r")
+    nb = int(np.load(os.path.join(path, "meta.npy"))[0])
     blocks = []
     for i in range(nb):
-        d, f, nh, hs = (int(v) for v in z[f"b{i}_dims"])
+        d, f, nh, hs = (int(v) for v in np.load(
+            os.path.join(path, f"b{i}_dims.npy")))
         blocks.append(RwkvBlockWeights(
             block_idx=i, d=d, f=f, n_head=nh, head_size=hs,
-            **{fl: z[f"b{i}_{fl}"] for fl in _BLOCK_FIELDS}))
-    return RwkvModel(blocks=blocks, emb=z["emb"], head_w=z["head_w"],
-                     ln_out_w=z["ln_out_w"], ln_out_b=z["ln_out_b"],
-                     ln0_w=z["ln0_w"], ln0_b=z["ln0_b"])
+            **{fl: ld(f"b{i}_{fl}") for fl in _BLOCK_FIELDS}))
+    return RwkvModel(blocks=blocks, emb=ld("emb"), head_w=ld("head_w"),
+                     ln_out_w=ld("ln_out_w"), ln_out_b=ld("ln_out_b"),
+                     ln0_w=ld("ln0_w"), ln0_b=ld("ln0_b"))
 
 
 _BLOCK_FIELDS = [
