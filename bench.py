@@ -75,9 +75,11 @@ def main():
     all_match = all(r["match"] for r in results)
     min_corr = min(r["corr"] for r in results)
 
+    kind = ("24-block measured" if num_blocks == 24
+            else "24-block extrapolated")
     print(json.dumps({
         "metric": f"sec/token client-aided RWKV-7 D={d} F={f} N={n} "
-                  "(24-block extrapolated)",
+                  f"({kind})",
         "value": round(sec_per_token, 3),
         "unit": "s/token",
         "vs_baseline": round(baseline / sec_per_token, 3),

@@ -94,16 +94,23 @@ class FheRwkvServer:
         t0 = time.perf_counter()
         if cache_dir is not None:
             os.makedirs(cache_dir, exist_ok=True)
+        keys = ("rkv", "o", "ffn_key", "ffn_val")
         for bi, blk in enumerate(model.blocks):
-            path = (os.path.join(cache_dir, f"block{bi}_{d}_{f}_{level}.npz")
+            # raw .npy per tensor (mmap-able; npz CRC passes are slower
+            # than re-encoding on a weak host)
+            bdir = (os.path.join(cache_dir, f"block{bi}_{d}_{f}_{level}")
                     if cache_dir else None)
-            if path and os.path.exists(path):
-                z = np.load(path)
-                self.blocks_host.append({k: z[k] for k in z.files})
+            if bdir and all(os.path.exists(os.path.join(bdir, k + ".npy"))
+                            for k in keys):
+                self.blocks_host.append(
+                    {k: np.load(os.path.join(bdir, k + ".npy"),
+                                mmap_mode="r") for k in keys})
             else:
                 enc = self._pre_encode_block(blk)
-                if path:
-                    np.savez(path, **enc)
+                if bdir:
+                    os.makedirs(bdir, exist_ok=True)
+                    for k, v in enc.items():
+                        np.save(os.path.join(bdir, k + ".npy"), v)
                 self.blocks_host.append(enc)
         self.preencode_time = time.perf_counter() - t0
 
