@@ -73,9 +73,11 @@ class FheAccuracySimulator:
     retrieval at scale 2^28 (fhesim/calibrate.py writes updated values).
     """
 
-    # sigma_eps = c * sqrt(d); calibrated vs fhe_spear_tpu backend
-    NOISE_CONSTANTS = {2048: 3.0e-6, 4096: 2.1e-6, 8192: 1.5e-6,
-                       16384: 1.1e-6}
+    # sigma_eps = c * sqrt(d); N=2048 measured against this backend's
+    # CT-CT column engine (fhesim_calibration.json: c = 7.5e-7), others
+    # scaled ~1/sqrt(N)
+    NOISE_CONSTANTS = {2048: 7.5e-7, 4096: 5.3e-7, 8192: 3.8e-7,
+                       16384: 2.7e-7}
 
     def __init__(self, poly_modulus_degree: int = 8192,
                  noise_constant: float | None = None, seed: int = 0):
