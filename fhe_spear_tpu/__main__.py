@@ -31,8 +31,13 @@ def _ctx(n, limbs, specials, seed=0):
 
 
 def cmd_retrieval(args):
-    from .apps.demo import run_demo
+    from .apps.demo import run_demo, recall_benchmark
 
+    if args.recall:
+        out = recall_benchmark(n_docs=args.n_docs, mode=args.mode)
+        print(f"retrieval R@1/5/10: {out['recall@1']:.2f}/"
+              f"{out['recall@5']:.2f}/{out['recall@10']:.2f}")
+        return
     agree, n_q = run_demo(n_docs=args.n_docs, mode=args.mode)
     print(f"retrieval: {agree}/{n_q} encrypted top-1 matches plaintext")
 
@@ -111,6 +116,8 @@ def main(argv=None):
     r = sub.add_parser("retrieval")
     r.add_argument("--n_docs", type=int, default=64)
     r.add_argument("--mode", choices=["row", "column"], default="row")
+    r.add_argument("--recall", action="store_true",
+                   help="R@k benchmark (gold+distractor protocol)")
     r.set_defaults(fn=cmd_retrieval)
 
     g = sub.add_parser("generate")

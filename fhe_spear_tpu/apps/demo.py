@@ -141,3 +141,60 @@ def run_demo(n_docs: int = 64, mode: str = "row", verbose: bool = True):
     if verbose:
         print(f"  encrypted ranking agrees with plaintext: {agree}/{n_q}")
     return agree, n_q
+
+
+def recall_benchmark(n_docs: int = 200, n_queries: int = 20, dim: int = 64,
+                     mode: str = "column", n: int = 2048, seed: int = 0,
+                     verbose: bool = True):
+    """Recall@k of encrypted vs plaintext retrieval over the shipped
+    MS-MARCO SFT passages (gold = each question's own context passage, the
+    reference's gold+distractor protocol — fhe_spear_retrieval.py:101-191,
+    gpu/ct_ct_search.py:117-222).
+
+    Reports R@1/5/10 for the encrypted engine and agreement with the
+    plaintext ranking (which isolates FHE noise from embedding quality).
+    """
+    from ..ckks import CkksContext, CkksParams
+
+    passages, questions = load_msmarco_sft(n=n_docs)
+    if not passages:
+        rng = np.random.default_rng(seed)
+        passages = [f"synthetic topic {i % 29} passage {i}"
+                    for i in range(n_docs)]
+        questions = [passages[i] for i in range(min(n_queries, n_docs))]
+    ctx = CkksContext(CkksParams.retrieval(n=n), seed=seed)
+    r = FheSpearRetriever(ctx, dim=dim, mode=mode).index(passages[:n_docs])
+
+    ranks_enc, agree1 = [], 0
+    n_q = min(n_queries, len(questions))
+    for qi in range(n_q):
+        q = questions[qi]
+        if mode == "row":
+            qct = r.eng.encrypt_query(
+                r.embed_fn([q])[0] @ r.proj
+                / (np.linalg.norm(r.embed_fn([q])[0] @ r.proj) + 1e-9))
+            scores = r.eng.decode_scores(
+                r.eng.scores_ctct(qct, r._corpus), len(r.passages))
+        else:
+            qv = r.embed_fn([q])[0] @ r.proj
+            qv = qv / (np.linalg.norm(qv) + 1e-9)
+            scores = r.eng.decode_scores(
+                r.eng.scores(r._corpus, r.eng.encrypt_query(qv)),
+                len(r.passages))
+        order = np.argsort(scores)[::-1]
+        rank = int(np.where(order == qi)[0][0]) + 1
+        ranks_enc.append(rank)
+        plain_top = int(np.argmax(r.plaintext_scores(q)))
+        agree1 += int(order[0] == plain_top)
+
+    ranks = np.asarray(ranks_enc)
+    out = {"recall@1": float((ranks <= 1).mean()),
+           "recall@5": float((ranks <= 5).mean()),
+           "recall@10": float((ranks <= 10).mean()),
+           "plaintext_top1_agreement": agree1 / n_q,
+           "n_docs": len(r.passages), "n_queries": n_q, "dim": dim}
+    if verbose:
+        print(f"  R@1={out['recall@1']:.2f} R@5={out['recall@5']:.2f} "
+              f"R@10={out['recall@10']:.2f} "
+              f"(enc-vs-plain top1 agreement {out['plaintext_top1_agreement']:.2f})")
+    return out

@@ -150,3 +150,14 @@ def test_i32_stage_mode_matches(ctx, model):
     want = plaintext_block(model.blocks[0], x, xpa, xpf, state, None)[0]
     got = client.block(0, x, xpa, xpf, state, None)[0]
     np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_recall_benchmark():
+    from fhe_spear_tpu.apps.demo import recall_benchmark
+
+    out = recall_benchmark(n_docs=40, n_queries=8, dim=16, mode="column",
+                           n=256, verbose=False)
+    # encrypted ranking must agree with the plaintext ranking (FHE noise
+    # is far below embedding-similarity gaps at scale 2^28)
+    assert out["plaintext_top1_agreement"] == 1.0
+    assert out["recall@10"] >= out["recall@1"]
