@@ -12,8 +12,6 @@ scripts/fhe_access_control.py:586-597, ret_light_demo.py):
 from __future__ import annotations
 
 import argparse
-import json
-import sys
 import time
 
 import numpy as np

@@ -22,13 +22,13 @@ for all classes apply as one batched modular add.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
 from ..ckks.context import CkksContext
 from ..ckks.ciphertext import Ciphertext
-from ..ops.packing import euclidean_to_lorentz, pack_complex, pack_complex_conjugate
+from ..ops.packing import euclidean_to_lorentz, pack_complex
 from ..ops.retrieval import RowPackedRetrieval
 
 __all__ = ["classify_passage", "detect_pii", "AccessControlledCorpus",

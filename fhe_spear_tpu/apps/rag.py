@@ -26,7 +26,7 @@ from ..ckks import CkksContext, CkksParams
 from ..models.rwkv7 import make_random_model, load_torch_model, \
     generate_token_plaintext
 from ..models.client_aided import FheRwkvServer, FheRwkvClient
-from .demo import FheSpearRetriever, hashed_embed
+from .demo import FheSpearRetriever
 
 __all__ = ["EncryptedRag"]
 

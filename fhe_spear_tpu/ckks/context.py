@@ -38,7 +38,6 @@ multiply Mont values (P^-1, q_l^-1) are stored in Mont form (c*R).
 from __future__ import annotations
 
 import functools
-import math
 from dataclasses import dataclass
 
 import numpy as np

@@ -92,8 +92,6 @@ def validate(ctx, seed=0, verbose=True):
 
 
 def main():
-    import jax
-
     from ..ckks import CkksContext, CkksParams
 
     ctx = CkksContext(CkksParams(n=2048, num_limbs=3, num_special=1), seed=0)

@@ -36,7 +36,6 @@ from __future__ import annotations
 import functools
 import os
 import time
-from dataclasses import dataclass
 
 import numpy as np
 import jax
@@ -45,7 +44,7 @@ import jax.numpy as jnp
 from ..ckks.context import CkksContext
 from ..ckks.ciphertext import Ciphertext
 from ..core.modops import mont_mul, add_mod, neg_mod, barrett_reduce
-from ..ops.bsgs import BsgsMatvec, EncodedDiagonals, _load_coeffs, rns_expand
+from ..ops.bsgs import BsgsMatvec, _load_coeffs, rns_expand
 from .rwkv7 import (
     RwkvModel, RwkvState, layer_norm, token_mix, wkv7_client,
     generate_token_plaintext,

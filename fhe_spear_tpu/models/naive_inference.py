@@ -13,11 +13,7 @@ tree uses one hoisted multi-rotation per level across the whole batch.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 from ..ckks.context import CkksContext
 from ..ckks.ciphertext import Ciphertext, Plaintext

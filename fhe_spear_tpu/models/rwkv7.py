@@ -19,7 +19,7 @@ downloads (test_fully_enc_bsgs.py:171-179).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -23,7 +23,6 @@ All kernels are batched over leading dims and jitted once per level.
 from __future__ import annotations
 
 import functools
-import math
 
 import numpy as np
 import jax

@@ -9,9 +9,6 @@ checkpoint never contains decryption capability.
 
 from __future__ import annotations
 
-import json
-import os
-
 import numpy as np
 
 __all__ = ["save_ciphertext", "load_ciphertext", "save_secret_key",
