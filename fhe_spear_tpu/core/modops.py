@@ -28,10 +28,13 @@ __all__ = [
     "sub_mod",
     "neg_mod",
     "cond_sub",
+    "barrett_reduce",
 ]
 
-_MASK16 = jnp.uint32(0xFFFF)
-_SIXTEEN = jnp.uint32(16)
+# python int literals (not jnp scalars): Pallas kernels reject captured
+# device constants, and jnp promotes int literals to uint32 for free
+_MASK16 = 0xFFFF
+_SIXTEEN = 16
 
 
 def mul_hi_u32(a, b):
