@@ -33,7 +33,8 @@ from ..ops.bsgs import BsgsMatvec, _load_coeffs
 from ..core.modops import add_mod
 
 __all__ = ["FullyEncryptedFfn", "calibrate_magnitude", "run_fully_encrypted",
-           "plaintext_ffn_block"]
+           "plaintext_ffn_block", "full_vocab_head",
+           "generate_fully_encrypted_token"]
 
 
 def plaintext_ffn_block(x, w_key, w_val):
@@ -69,11 +70,19 @@ def calibrate_magnitude(w_keys, w_vals, x_cal, target_mag=1.0):
 class FullyEncryptedFfn:
     """Fully-encrypted FFN block evaluator for fixed (ctx, D, F)."""
 
-    def __init__(self, ctx: CkksContext, d: int, f: int):
+    def __init__(self, ctx: CkksContext, d: int, f: int,
+                 seq_chunks: bool = False):
+        """seq_chunks: evaluate the F/D chunk axis with `lax.map`
+        (sequential, one transient chunk live) instead of vmap — the
+        memory-bounding analogue of the reference's batch-1024 full-scale
+        FFN loop (fhe_rwkv_inference.py:623-725).  Same results; use for
+        full-vocab/full-F models where 2*n_chunks resident intermediates
+        would exceed HBM."""
         self.ctx = ctx
         self.d, self.f = d, f
         self.eng = BsgsMatvec(ctx, d)
         self.n_chunks = -(-f // d)
+        self.seq_chunks = seq_chunks
 
     def encode_block(self, w_key: np.ndarray, w_val: np.ndarray) -> dict:
         """Host pre-encode: chunked key/value diagonal stacks (int32)."""
@@ -120,13 +129,22 @@ class FullyEncryptedFfn:
     @functools.lru_cache(maxsize=None)
     def _shared(self, l):
         raw = self.eng._kernel_raw(l)
-        j = jax.jit(jax.vmap(raw, in_axes=(None, 0) + (None,) * 6))
+        if self.seq_chunks:
+            j = jax.jit(lambda c, pt, *xs:
+                        jax.lax.map(lambda p: raw(c, p, *xs), pt))
+        else:
+            j = jax.jit(jax.vmap(raw, in_axes=(None, 0) + (None,) * 6))
         return lambda c, pt: j(c, pt, *self.eng._xs(l))
 
     @functools.lru_cache(maxsize=None)
     def _batched(self, l):
         raw = self.eng._kernel_raw(l)
-        j = jax.jit(jax.vmap(raw, in_axes=(0, 0) + (None,) * 6))
+        if self.seq_chunks:
+            j = jax.jit(lambda c, pt, *xs:
+                        jax.lax.map(lambda cp: raw(cp[0], cp[1], *xs),
+                                    (c, pt)))
+        else:
+            j = jax.jit(jax.vmap(raw, in_axes=(0, 0) + (None,) * 6))
         return lambda c, pt: j(c, pt, *self.eng._xs(l))
 
     @functools.lru_cache(maxsize=None)
@@ -147,11 +165,14 @@ class FullyEncryptedFfn:
 
 def run_fully_encrypted(ctx: CkksContext, w_keys, w_vals, x0,
                         bootstrap_fn=None, min_levels: int = 4,
-                        verbose: bool = True):
+                        verbose: bool = True, return_ct: bool = False,
+                        seq_chunks: bool = False):
     """Chain blocks with per-block plaintext verification (the reference's
-    main loop, test_fully_enc_bsgs.py:238-298).  Returns per-block stats."""
+    main loop, test_fully_enc_bsgs.py:238-298).  Returns per-block stats;
+    with return_ct=True returns (stats, final_ciphertext) so a client-side
+    head can consume the encrypted result."""
     d, f = w_keys[0].shape
-    eng = FullyEncryptedFfn(ctx, d, f)
+    eng = FullyEncryptedFfn(ctx, d, f, seq_chunks=seq_chunks)
     w_keys, w_vals = calibrate_magnitude(w_keys, w_vals, x0)
 
     x_ref = np.asarray(x0, dtype=np.float64).copy()
@@ -187,7 +208,49 @@ def run_fully_encrypted(ctx: CkksContext, w_keys, w_vals, x0,
         if verbose:
             print(f"  block {b}: corr={corr:.10f} max_err={err:.2e} "
                   f"level={ct.level} {dt:.2f}s")
-    return stats
+    return (stats, ct) if return_ct else stats
+
+
+def full_vocab_head(x: np.ndarray, w_head: np.ndarray,
+                    ln_w=None, ln_b=None):
+    """Client-side full-vocabulary head: LN(x) @ W_head -> logits, argmax.
+
+    The reference computes the head in plaintext on the client after the
+    encrypted trunk (scripts/bootstrap_generation.py:1008-1010 and the
+    full-vocab run of fhe_rwkv_inference.py:623-725); only the D-dim
+    hidden state crosses the wire, never vocab-sized data.  Returns
+    (token_id, logits) for the full vocab in one numpy matmul.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    h = (x - x.mean()) / np.sqrt(x.var() + 1e-5)
+    if ln_w is not None:
+        h = h * np.asarray(ln_w, dtype=np.float64)
+    if ln_b is not None:
+        h = h + np.asarray(ln_b, dtype=np.float64)
+    logits = h @ np.asarray(w_head, dtype=np.float64)
+    return int(np.argmax(logits)), logits
+
+
+def generate_fully_encrypted_token(ctx: CkksContext, w_keys, w_vals,
+                                   w_head, x0, bootstrap_fn=None,
+                                   min_levels: int = 4,
+                                   seq_chunks: bool = False,
+                                   ln_w=None, ln_b=None):
+    """Full-vocab generation step: fully-encrypted FFN trunk + client-side
+    head over the whole vocabulary (C5 tail — the reference's full-scale
+    path, fhe_rwkv_inference.py:592-725).
+
+    Returns (token_id, logits, stats).  `w_head` is [D, vocab]; any vocab
+    size works since the head is a single plaintext matmul client-side.
+    """
+    stats, ct = run_fully_encrypted(
+        ctx, w_keys, w_vals, x0, bootstrap_fn=bootstrap_fn,
+        min_levels=min_levels, verbose=False, return_ct=True,
+        seq_chunks=seq_chunks)
+    d = np.asarray(w_keys[0]).shape[0]
+    dec = ctx.decrypt_vec(ct, d)
+    token, logits = full_vocab_head(dec, w_head, ln_w, ln_b)
+    return token, logits, stats
 
 
 class FullyEncryptedTimeMix:

@@ -44,6 +44,34 @@ def test_two_blocks_match_oracle(ctx):
     assert stats[-1]["level"] == ctx.L - 6
 
 
+def test_full_vocab_token_and_seq_chunks(ctx):
+    """Full-vocab head over the encrypted trunk: token + logits match the
+    plaintext chain; lax.map chunking (seq_chunks) agrees with vmap."""
+    from fhe_spear_tpu.models.fully_encrypted import (
+        generate_fully_encrypted_token, full_vocab_head)
+
+    rng = np.random.default_rng(13)
+    d, f, nb, vocab = 32, 128, 2, 1000
+    wk = [rng.normal(0, 0.02, (d, f)) for _ in range(nb)]
+    wv = [rng.normal(0, 0.02, (f, d)) for _ in range(nb)]
+    w_head = rng.normal(0, 1 / np.sqrt(d), (d, vocab))
+    x0 = rng.normal(0, 0.1, d)
+
+    wk_c, wv_c = calibrate_magnitude(wk, wv, x0)
+    x_ref = x0.copy()
+    for k, v in zip(wk_c, wv_c):
+        x_ref = plaintext_ffn_block(x_ref, k, v)
+    want_tok, want_logits = full_vocab_head(x_ref, w_head)
+
+    for seq in (False, True):
+        tok, logits, stats = generate_fully_encrypted_token(
+            ctx, wk, wv, w_head, x0, seq_chunks=seq)
+        assert len(stats) == nb and stats[-1]["corr"] > 0.999
+        assert tok == want_tok, (seq, tok, want_tok)
+        corr = np.corrcoef(logits, want_logits)[0, 1]
+        assert corr > 0.999, (seq, corr)
+
+
 def test_timemix_block():
     from fhe_spear_tpu.models.fully_encrypted import FullyEncryptedTimeMix
 
