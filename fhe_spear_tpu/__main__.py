@@ -84,8 +84,10 @@ def cmd_access_control(args):
                     if i % 2 else f"plain passage {i}" for i in range(args.n_docs)]
     classes = [classify_passage(p) for p in passages]
     z, _ = svd_compress(hashed_embed(passages), args.dim)
+    # SVD rank (and therefore the packed dim) is capped by the corpus size
+    dim = z.shape[1]
     ctx = _ctx(args.n, 3, 1, args.seed)
-    corpus = AccessControlledCorpus(ctx, dim=args.dim,
+    corpus = AccessControlledCorpus(ctx, dim=dim,
                                     noise_scale=args.noise_scale,
                                     per_passage=args.per_passage,
                                     seed=args.seed)

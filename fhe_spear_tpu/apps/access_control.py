@@ -63,11 +63,25 @@ SENSITIVITY_CLASSES = sorted(set(CLASS_MAP.values()))
 
 
 def detect_pii(text: str):
+    """PII spans with overlapping matches merged (type names joined with
+    '+', text extended) — behavioral parity with the reference's merge
+    (fhe_access_control.py:55-66): an overlapping span that extends the
+    current one grows it; a fully-contained overlap is dropped."""
     spans = []
     for kind, pat in PII_PATTERNS.items():
         spans += [{"type": kind, "start": m.start(), "end": m.end(),
                    "text": m.group()} for m in pat.finditer(text)]
-    return sorted(spans, key=lambda s: s["start"])
+    spans.sort(key=lambda s: s["start"])
+    merged: list[dict] = []
+    for span in spans:
+        if merged and span["start"] < merged[-1]["end"]:
+            if span["end"] > merged[-1]["end"]:
+                merged[-1]["end"] = span["end"]
+                merged[-1]["text"] = text[merged[-1]["start"]: merged[-1]["end"]]
+                merged[-1]["type"] += "+" + span["type"]
+        else:
+            merged.append(dict(span))
+    return merged
 
 
 def classify_passage(text: str) -> set:
@@ -140,7 +154,14 @@ class AccessControlledCorpus:
 
     def corrections_for(self, authorized: set) -> Ciphertext:
         """Per-user correction ciphertexts [n_keys, nb, 2, l, N]: Enc(-n)
-        where authorized, indistinguishable random dummies elsewhere."""
+        where authorized, dummies elsewhere.
+
+        Dummies are fresh samples from the SAME distribution as the noise
+        itself (iid complex normal, mean-|.| normalized to noise_scale), so
+        even the key-holding client cannot distinguish a decrypted dummy
+        from a real correction by its per-slot statistics; before
+        decryption, indistinguishability rests on ciphertext semantic
+        security as usual."""
         spd, dpc = self.eng.spd, self.eng.docs_per_ct
         keys = (range(self.n_docs) if self.per_passage else self.classes)
         mats = []
@@ -157,9 +178,10 @@ class AccessControlledCorpus:
                 if ok:
                     slots[b, off: off + spd] = -nv
                 else:
-                    dummy = (self.rng.standard_normal(spd)
-                             + 1j * self.rng.standard_normal(spd)) * np.abs(nv)
-                    slots[b, off: off + spd] = dummy
+                    z = (self.rng.standard_normal(spd)
+                         + 1j * self.rng.standard_normal(spd))
+                    slots[b, off: off + spd] = (
+                        z / np.abs(z).mean() * self.noise_scale)
             mats.append(slots)
         return self.ctx.encrypt(np.stack(mats), scale=self._enc_scale)
 

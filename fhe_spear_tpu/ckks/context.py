@@ -38,6 +38,7 @@ multiply Mont values (P^-1, q_l^-1) are stored in Mont form (c*R).
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -137,7 +138,18 @@ class CkksContext:
     conjugate / hoisted rotations).
     """
 
-    def __init__(self, params: CkksParams, seed: int = 0):
+    def __init__(self, params: CkksParams, seed: int | None = None,
+                 sk_coeff: np.ndarray | None = None):
+        """seed=None (the default) draws all key/noise randomness from OS
+        entropy (os.urandom via SeedSequence): every context gets a fresh
+        secret key and unpredictable encryption randomness.  Pass an
+        explicit integer seed ONLY for reproducible tests/benchmarks — a
+        seeded context is deterministic and therefore NOT confidential
+        (two contexts with the same seed share the same secret key).
+
+        sk_coeff restores a saved secret key (see utils.serialization);
+        the relinearization key is regenerated from it.
+        """
         self.params = params
         self.n = params.n
         self.slots = params.n // 2
@@ -151,8 +163,18 @@ class CkksContext:
         self.ntt = NttContext.build(params.n, self.primes)
         self.encoder = SlotEncoder(params.n)
         # legacy RandomState: the PCG64 Generator is pathologically slow
-        # in some numpy builds (50x); MT19937 bulk sampling is not
-        self.rng = np.random.RandomState(seed)
+        # in some numpy builds (50x); MT19937 bulk sampling is not.
+        # MT19937 is not itself a CSPRNG; with an os.urandom seed (128 bits
+        # of entropy) its outputs are unpredictable to parties that never
+        # observe raw stream values — and key/noise samples are never
+        # revealed.  Deterministic mode (explicit seed) is for benchmarks.
+        if seed is None:
+            ss = np.random.SeedSequence(
+                int.from_bytes(os.urandom(16), "little"))
+            self.rng = np.random.RandomState(np.random.MT19937(ss))
+        else:
+            self.rng = np.random.RandomState(seed)
+        self.seeded = seed is not None
 
         LK = self.L + self.K
         q = np.array([pr.p for pr in self.primes], dtype=np.uint64)
@@ -203,7 +225,10 @@ class CkksContext:
 
         # --- keys ---
         h = params.secret_hamming_weight
-        if h is None:
+        if sk_coeff is not None:
+            self._sk_coeff = np.asarray(sk_coeff, dtype=np.int64)
+            assert self._sk_coeff.shape == (self.n,)
+        elif h is None:
             self._sk_coeff = self.rng.randint(-1, 2, size=self.n
                                               ).astype(np.int64)
         else:
@@ -214,6 +239,33 @@ class CkksContext:
         self.relin_key: KeySwitchKey = self._make_ksk(
             mont_mul(self.s_eval, self.s_eval, self.ntt.p, self.ntt.pinv))
         self.galois_keys: dict[int, KeySwitchKey] = {}
+
+    def set_secret_key(self, sk_coeff: np.ndarray) -> None:
+        """Install a restored secret key on a (possibly warm) context.
+
+        Every cached jitted kernel that baked the old key material in as a
+        traced constant is dropped (encrypt/decrypt/multiply/rotate/
+        hoisting and the keygen builders), the relinearization key is
+        regenerated from the new secret, and galois keys are cleared
+        (callers re-run ensure_galois).  Prefer constructing a fresh
+        context via CkksContext(params, sk_coeff=...) when possible.
+        """
+        self._sk_coeff = np.asarray(sk_coeff, dtype=np.int64)
+        assert self._sk_coeff.shape == (self.n,)
+        LK = self.L + self.K
+        self.s_eval = self._to_eval_mont(self._sk_coeff, tuple(range(LK)))
+        # cached_property keygen builders close over the old s_eval
+        self.__dict__.pop("_j_make_ksk", None)
+        self.__dict__.pop("_j_make_ksk_batch", None)
+        # lru_cache'd kernels (class-level caches keyed by self; clearing
+        # drops other live contexts' entries too, which is merely a
+        # re-trace cost, never a correctness issue)
+        for name in ("_j_encrypt", "_j_dec_cached", "_j_mul", "_j_rotate",
+                     "_j_hoisted"):
+            getattr(type(self), name).cache_clear()
+        self.galois_keys.clear()
+        self.relin_key = self._make_ksk(
+            mont_mul(self.s_eval, self.s_eval, self.ntt.p, self.ntt.pinv))
 
     # ------------------------------------------------------------------
     # small host/device helpers
@@ -608,7 +660,7 @@ class CkksContext:
     def mod_drop(self, x: Ciphertext, levels: int = 1) -> Ciphertext:
         """CKKS mod_switch_to_next^levels: drop trailing limb rows (exact)."""
         assert x.level - levels >= 1
-        return Ciphertext(x.c[:, : x.level - levels], x.scale)
+        return Ciphertext(x.c[..., : x.level - levels, :], x.scale)
 
     def mod_switch_to(self, x: Ciphertext, level: int) -> Ciphertext:
         assert level <= x.level

@@ -82,8 +82,9 @@ def validate(ctx, seed=0, verbose=True):
     results["topk_overlap"] = {"overlap": overlap, "k": k,
                                "pass": overlap >= 6}
 
+    n_tests = len(results)
     n_pass = sum(r["pass"] for r in results.values())
-    results["summary"] = f"{n_pass}/{len(results) - 0} tests passed"
+    results["summary"] = f"{n_pass}/{n_tests} tests passed"
     if verbose:
         for name, r in results.items():
             if isinstance(r, dict):

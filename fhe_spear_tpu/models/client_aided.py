@@ -161,9 +161,11 @@ class FheRwkvServer:
         if i in self._device:
             return self._device[i]
         if len(self._device) >= self.max_cached_blocks:
-            # evict the staged block furthest in the past (blocks are used
-            # cyclically, so FIFO == LRU here)
-            self._device.pop(next(iter(self._device)))
+            # MRU eviction: block access is cyclic (0..B-1 repeating), so
+            # evicting the most recently staged block pins a prefix of
+            # max_cached_blocks-1 blocks that hit every cycle; FIFO/LRU
+            # would thrash to a 100% miss rate (measured, NOTES_r1)
+            self._device.pop(next(reversed(self._device)))
         host = self.blocks_host[i]
         if self.stage_mode == "i32":
             staged = {k: jnp.asarray(v) for k, v in host.items()}
@@ -392,7 +394,11 @@ class FheRwkvClient:
         self.level = server.level
         self.d, self.f = server.d, server.f
         self.fused = fused
-        self._seed = 0
+        # per-ciphertext device-PRNG randomness is threefry(base + counter);
+        # the base comes from the context RNG (OS-entropy-seeded unless the
+        # context was explicitly seeded for a reproducible benchmark), so
+        # two clients never reuse an (a, e) pair
+        self._seed = int(ctx.rng.randint(0, 1 << 62, dtype=np.int64))
 
     # -- encode / transport helpers ---------------------------------------
 
@@ -583,7 +589,8 @@ class FheRwkvBatchedClient:
         self.server = server
         self.level = server.level
         self.d, self.f = server.d, server.f
-        self._seed = 1 << 20
+        # see FheRwkvClient: entropy-derived base for threefry counters
+        self._seed = int(ctx.rng.randint(0, 1 << 62, dtype=np.int64))
 
     def _encode_i32(self, slots):
         from ..native import batch_encode

@@ -9,15 +9,29 @@ the caller falls back to the numpy encoder transparently.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
+import tempfile
 
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SO = os.path.join(_DIR, "libbatchenc.so")
 _lib = None
 _tried = False
+
+
+def _so_path(src: str) -> str:
+    """Build-cache path keyed on a hash of the source, so source edits
+    always trigger a recompile (a stale committed binary can never shadow
+    the current code)."""
+    with open(src, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache = os.environ.get(
+        "FHE_NATIVE_CACHE",
+        os.path.join(tempfile.gettempdir(), "fhe_spear_native"))
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, f"libbatchenc-{h}.so")
 
 
 def _load():
@@ -25,17 +39,21 @@ def _load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO):
-        src = os.path.join(_DIR, "batch_encoder.cpp")
+    src = os.path.join(_DIR, "batch_encoder.cpp")
+    so = _so_path(src)
+    if not os.path.exists(so):
+        # -march=native is opt-in (FHE_NATIVE_MARCH=1): a binary built with
+        # it SIGILLs when the cache dir is shared with an older host
+        flags = ["-O3", "-fopenmp", "-shared", "-fPIC"]
+        if os.environ.get("FHE_NATIVE_MARCH"):
+            flags.insert(1, "-march=native")
         try:
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
-                 "-fPIC", "-o", _SO, src],
-                check=True, capture_output=True, timeout=120)
+            subprocess.run(["g++", *flags, "-o", so, src],
+                           check=True, capture_output=True, timeout=120)
         except Exception:
             return None
     try:
-        lib = ctypes.CDLL(_SO)
+        lib = ctypes.CDLL(so)
         lib.batch_encode.restype = ctypes.c_int
         lib.batch_encode.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),

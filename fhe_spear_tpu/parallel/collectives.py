@@ -2,8 +2,10 @@
 
 RNS residues are uint32 < p < 2^31; a plain `psum` over more than one
 device can wrap mod 2^32.  `psum_mod` splits each residue into 16-bit
-halves, psums both (exact for up to 2^15 devices), and recombines modulo p
-using one Montgomery multiply — the TPU-native analog of the reference's
+halves, psums both, and recombines modulo p using one Montgomery multiply
+— exact for up to 2^11 devices per axis (the binding constraint is the
+single conditional subtract before recombination: half-sums must stay
+below the smallest prime, ~2^28, so D*2^16 < 2^27 -> D <= 2^11) — the TPU-native analog of the reference's
 single-GPU accumulation loops, designed for giant-step partial-sum
 reduction over ICI (SURVEY.md §2 parallelism mandate / BASELINE.json).
 """

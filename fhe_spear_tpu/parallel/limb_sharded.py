@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..core.modops import (mont_mul, add_mod, sub_mod, barrett_reduce,
                            cond_sub, mont_reduce_wide)
@@ -141,7 +141,7 @@ class LimbShardedRotator:
                     row, P(), row, P(None, ax, None), P(), P(None, ax, None),
                     row, P(None, ax, None), P(None, ax, None), P(), P())
         f = shard_map(body, mesh=self.mesh, in_specs=in_specs,
-                      out_specs=P(None, ax, None), check_rep=False)
+                      out_specs=P(None, ax, None), check_vma=False)
         jf = jax.jit(f)
         args = (tb_loc, tb_sp, mu_loc, mu_sp, r2_loc, qmod_loc, qmod_sp,
                 qmod_sp_to_loc, pinv_mont, kb_loc, ka_loc, kb_sp, ka_sp)

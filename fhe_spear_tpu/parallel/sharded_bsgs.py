@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..core.modops import mont_mul, add_mod
 from ..core.ntt import automorphism_perm
@@ -139,7 +139,7 @@ class ShardedBsgsMatvec:
             body, mesh=self.mesh,
             in_specs=(P(), P(ax), P(), P(), P(), P(ax), P(ax), P(ax)),
             out_specs=P(),
-            check_rep=False,
+            check_vma=False,
         )
 
         def kernel(c, pt):

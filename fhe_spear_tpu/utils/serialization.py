@@ -12,8 +12,8 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["save_ciphertext", "load_ciphertext", "save_secret_key",
-           "load_secret_key_into", "save_generation_state",
-           "load_generation_state"]
+           "load_secret_key", "load_secret_key_into",
+           "save_generation_state", "load_generation_state"]
 
 
 def save_ciphertext(path: str, ct) -> None:
@@ -33,16 +33,26 @@ def save_secret_key(path: str, ctx) -> None:
     np.savez_compressed(path, sk=ctx._sk_coeff, n=ctx.n, seed_note=0)
 
 
+def load_secret_key(path: str, params):
+    """Restore a secret key into a FRESH context (preferred API): the
+    relinearization key is generated from the restored secret and no stale
+    compiled kernel can reference old key material."""
+    from ..ckks.context import CkksContext
+
+    z = np.load(path)
+    ctx = CkksContext(params, sk_coeff=z["sk"])
+    assert int(z["n"]) == ctx.n
+    return ctx
+
+
 def load_secret_key_into(path: str, ctx) -> None:
-    """Restore a secret key into a context built with the same params.
-    Regenerates s_eval (and invalidates existing evaluation keys: callers
-    must re-run keygen or load matching eval keys)."""
+    """Restore a secret key into an existing context built with the same
+    params.  Delegates to CkksContext.set_secret_key, which drops every
+    cached jitted kernel holding old key material and regenerates the
+    relinearization key; galois keys are cleared (re-run ensure_galois)."""
     z = np.load(path)
     assert int(z["n"]) == ctx.n
-    ctx._sk_coeff = z["sk"]
-    ctx.s_eval = ctx._to_eval_mont(ctx._sk_coeff,
-                                   tuple(range(ctx.L + ctx.K)))
-    ctx.galois_keys.clear()
+    ctx.set_secret_key(z["sk"])
 
 
 def save_generation_state(path: str, state, tokens: list[int]) -> None:
