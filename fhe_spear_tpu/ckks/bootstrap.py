@@ -41,15 +41,50 @@ import jax.numpy as jnp
 
 from .context import CkksContext
 from .ciphertext import Ciphertext
-from ..ops.bsgs import BsgsMatvec
+from .dft import special_fft_stages, inverse_stages, collapse_stages
+from ..ops.bsgs import BsgsMatvec, DiagonalMatvec
 from ..ops.polyeval import chebyshev_fit, eval_chebyshev, _mul_scalar_c
 
 __all__ = ["Bootstrapper"]
 
 
+class _FactorGroup:
+    """One collapsed-FFT stage group, evaluated as a generalized-BSGS
+    diagonal matvec.  The plaintext scale is prime-matched per level so
+    the ciphertext scale is exactly preserved — or, when `target_scale`
+    is set (the last group of a direction), exactly retargeted, folding
+    what would otherwise be a level-burning scale_to into the matvec."""
+
+    def __init__(self, ctx: CkksContext, diags: dict,
+                 target_scale: float | None = None):
+        self.ctx = ctx
+        self.diags = diags
+        self.target = target_scale
+        self.eng = DiagonalMatvec(ctx, list(diags.keys()))
+        self._cache: dict = {}
+
+    def __call__(self, ct: Ciphertext) -> Ciphertext:
+        l = ct.level
+        key = (l, ct.scale) if self.target else l
+        if key not in self._cache:
+            sp = float(self.ctx.q_np[l - 1])
+            if self.target:
+                sp *= self.target / ct.scale
+            enc = self.eng.encode_table(self.diags, scale=sp)
+            self._cache[key] = (self.eng.load(enc, l), sp)
+        pt, sp = self._cache[key]
+        return self.eng(ct, pt, pt_scale=sp)
+
+
 class Bootstrapper:
     def __init__(self, ctx: CkksContext, exp_degree: int = 27,
-                 range_k: int | None = None, margin_bits: int = 3):
+                 range_k: int | None = None, margin_bits: int = 3,
+                 radix: int | None = 4):
+        """radix=None: dense S x S CoeffToSlot/SlotToCoeff (1 level each,
+        fine for small rings).  radix=k: factorized level-collapsed FFT
+        stages (ckks/dft.py) of <= 2^(k+1)-1 diagonals each — the only
+        feasible mode at production ring sizes (docs/DESIGN.md section 10).
+        """
         assert ctx.params.secret_hamming_weight is not None, \
             "bootstrap needs a sparse secret (secret_hamming_weight)"
         self.ctx = ctx
@@ -63,29 +98,48 @@ class Bootstrapper:
         self.q0 = float(ctx.q_np[0])
 
         s = ctx.slots
-        self.eng = BsgsMatvec(ctx, s)
         ctx.ensure_galois([], conj=True)
+        m = s.bit_length() - 1
+        self.radix = min(radix, m) if radix else None
 
-        # --- CoeffToSlot matrices: w = A z + B conj(z) -------------------
-        enc = ctx.encoder
-        eye = np.eye(s)
-        e1 = enc.embed(eye)                       # [j, N]: coeffs of e_j
-        e2 = enc.embed(1j * eye)
-        ap = (e1 - 1j * e2) / 2                   # A'[n, j] = ap[j, n]
-        bp = (e1 + 1j * e2) / 2
-        A = (ap[:, :s] + 1j * ap[:, s:]).T        # [S, S]
-        B = (bp[:, :s] + 1j * bp[:, s:]).T
+        if self.radix:
+            # level-collapsed FFT stages; the last group of each direction
+            # retargets the ciphertext scale to exactly ctx.scale
+            c2s_g = collapse_stages(inverse_stages(s), self.radix, s)
+            s2c_g = collapse_stages(special_fft_stages(s), self.radix, s)
+            self._c2s_f = [
+                _FactorGroup(ctx, g,
+                             ctx.scale if i == len(c2s_g) - 1 else None)
+                for i, g in enumerate(c2s_g)]
+            self._s2c_f = [
+                _FactorGroup(ctx, g,
+                             ctx.scale if i == len(s2c_g) - 1 else None)
+                for i, g in enumerate(s2c_g)]
+            self.linear_levels = len(c2s_g) + len(s2c_g)
+        else:
+            self.eng = BsgsMatvec(ctx, s)
+            self.linear_levels = 2
 
-        # --- SlotToCoeff matrices: z = C w + D conj(w) -------------------
-        n = ctx.n
-        ej = (2 * enc._t_slot + 1).astype(np.float64)     # slot exponents
-        U = np.exp(1j * np.pi * np.outer(ej, np.arange(n)) / n)  # [S, N]
-        ul, ur = U[:, :s], U[:, s:]
-        C = ul / 2 - 1j * ur / 2
-        Dm = ul / 2 + 1j * ur / 2
+            # --- CoeffToSlot matrices: w = A z + B conj(z) ---------------
+            enc = ctx.encoder
+            eye = np.eye(s)
+            e1 = enc.embed(eye)                   # [j, N]: coeffs of e_j
+            e2 = enc.embed(1j * eye)
+            ap = (e1 - 1j * e2) / 2               # A'[n, j] = ap[j, n]
+            bp = (e1 + 1j * e2) / 2
+            A = (ap[:, :s] + 1j * ap[:, s:]).T    # [S, S]
+            B = (bp[:, :s] + 1j * bp[:, s:]).T
 
-        self._c2s = self._encode_pair(A, B)
-        self._s2c = self._encode_pair(C, Dm)
+            # --- SlotToCoeff matrices: z = C w + D conj(w) ---------------
+            n = ctx.n
+            ej = (2 * enc._t_slot + 1).astype(np.float64)  # slot exponents
+            U = np.exp(1j * np.pi * np.outer(ej, np.arange(n)) / n)  # [S, N]
+            ul, ur = U[:, :s], U[:, s:]
+            C = ul / 2 - 1j * ur / 2
+            Dm = ul / 2 + 1j * ur / 2
+
+            self._c2s = self._encode_pair(A, B)
+            self._s2c = self._encode_pair(C, Dm)
 
         # --- EvalMod Chebyshev series ------------------------------------
         # C2S output slots are (integer coefficients)/Delta_d, so the exp
@@ -133,6 +187,23 @@ class Bootstrapper:
         j = jax.jit(jax.vmap(raw, in_axes=(0, 0) + (None,) * 6))
         return lambda c, pt: j(c, pt, *self.eng._xs(l))
 
+    def _coeff_to_slot(self, ct: Ciphertext) -> Ciphertext:
+        """slots <- coefficient pairs w_k = (v_k + i v_{k+S}) / delta_d
+        (bit-reverse slot-ordered in factorized mode — EvalMod is
+        pointwise and SlotToCoeff reverses it, so the order cancels)."""
+        if self.radix:
+            for g in self._c2s_f:
+                ct = g(ct)
+            return ct
+        return self._pair_matvec(self._c2s, ct)
+
+    def _slot_to_coeff(self, ct: Ciphertext) -> Ciphertext:
+        if self.radix:
+            for g in self._s2c_f:
+                ct = g(ct)
+            return self.ctx.scale_to(ct, self.ctx.scale)
+        return self._pair_matvec(self._s2c, ct)
+
     def mod_raise(self, ct: Ciphertext) -> Ciphertext:
         """Level-1 ciphertext -> full-level ciphertext decrypting to
         v + q0*I (centered base extension of both components)."""
@@ -175,7 +246,7 @@ class Bootstrapper:
         # 1. ModRaise: v + q0*I at full level
         raised = self.mod_raise(ct)
         # 2. CoeffToSlot: slots <- coefficient pairs w_k = v_k + i v_{k+S}
-        w = self._pair_matvec(self._c2s, raised)
+        w = self._coeff_to_slot(raised)
         # 3. split real/imag coefficient streams
         wc = ctx.conjugate(w)
         two_re = ctx.add(w, wc)                      # 2*Re(w)
@@ -204,5 +275,4 @@ class Bootstrapper:
         s = ctx.add(t1, Ciphertext(t2.c, t1.scale))
         wt = ctx.rescale(ctx.mul_scalar(s, 0.5 * gamma))
         # 6. SlotToCoeff
-        out = self._pair_matvec(self._s2c, wt)
-        return out
+        return self._slot_to_coeff(wt)

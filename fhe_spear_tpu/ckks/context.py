@@ -49,6 +49,7 @@ from ..core.primes import find_ntt_primes, Prime
 from ..core.ntt import NttContext, automorphism_perm
 from ..core.modops import (
     mont_mul,
+    mul_hi_u32,
     add_mod,
     sub_mod,
     neg_mod,
@@ -84,6 +85,14 @@ class CkksParams:
     # Bootstrap contexts need sparse secrets to bound the ModRaise integer
     # |I| <= O(sqrt(h)) (HEAAN-style, h=64 default in ckks/bootstrap.py).
     secret_hamming_weight: int | None = None
+    # hybrid-keyswitch digit count: decompose into dnum groups of limbs
+    # instead of one digit per limb.  Keys shrink by L/dnum and the
+    # keyswitch does dnum (not l) digit NTT-extensions/inner products; the
+    # price is num_special large enough that P = prod(special primes)
+    # covers each group product (checked at context build).  None = one
+    # digit per limb (exact centered extension, minimal-noise mode for
+    # shallow chains where keys are small anyway).
+    dnum: int | None = None
 
     @property
     def scale(self) -> float:
@@ -111,15 +120,18 @@ class CkksParams:
 
     @classmethod
     def bootstrap(cls, n: int, num_limbs: int = 22, num_special: int = 2,
-                  hamming: int = 64) -> "CkksParams":
+                  hamming: int = 64, dnum: int | None = None) -> "CkksParams":
         """Bootstrappable: sparse secret + deep chain
-        (CKKSBootstrapContext with bootstrapper, bootstrap_generation.py:61)."""
+        (CKKSBootstrapContext with bootstrapper, bootstrap_generation.py:61).
+        At production ring sizes pass dnum (e.g. 6) + num_special ~ 4 so
+        the ~126 C2S/S2C rotation keys fit in memory."""
         return cls(n=n, num_limbs=num_limbs, num_special=num_special,
-                   secret_hamming_weight=hamming)
+                   secret_hamming_weight=hamming, dnum=dnum)
 
 
 class KeySwitchKey:
-    """b, a: [L, L+K, N] uint32, NTT domain, R^2 form (digit, limb, coeff)."""
+    """b, a: [dnum, L+K, N] uint32, NTT domain, R^2 form
+    (digit, limb, coeff); dnum = L when digits are single limbs."""
 
     def __init__(self, b: jnp.ndarray, a: jnp.ndarray):
         self.b = b
@@ -183,6 +195,24 @@ class CkksContext:
         for pr in self.primes[self.L:]:
             P *= pr.p
         self.P_int = P
+
+        # hybrid-keyswitch digit grouping: group size g limbs per digit
+        self.dnum = params.dnum if params.dnum else self.L
+        assert 1 <= self.dnum <= self.L, (self.dnum, self.L)
+        self.gsize = -(-self.L // self.dnum)
+        self.digit_of_limb = np.arange(self.L) // self.gsize
+        self.dnum = int(self.digit_of_limb[-1]) + 1  # actual digit count
+        if self.gsize > 1:
+            # keyswitch noise ~ sigma*sqrt(dnum*N)*Q_j/P: require P >= Q_j
+            for j in range(self.dnum):
+                qj = 1
+                for i in range(j * self.gsize,
+                               min((j + 1) * self.gsize, self.L)):
+                    qj *= int(q[i])
+                assert P >= qj, (
+                    f"digit group {j} product ({qj.bit_length()} bits) "
+                    f"exceeds P ({P.bit_length()} bits): raise num_special "
+                    f"or dnum")
 
         u32 = lambda x: jnp.asarray(np.asarray(x, dtype=np.uint32))
         r_of = lambda i: self.primes[i].mont_r
@@ -306,13 +336,30 @@ class CkksContext:
     # key generation
     # ------------------------------------------------------------------
 
+    def num_digits(self, l: int) -> int:
+        """Active keyswitch digits at level l (= l for single-limb digits)."""
+        return -(-l // self.gsize)
+
     def _make_ksk(self, sprime_eval: jnp.ndarray) -> KeySwitchKey:
         """Keyswitch key for s' -> s.  sprime_eval: [L+K, N] eval/Mont."""
         LK = self.L + self.K
         all_rows = tuple(range(LK))
-        a = jnp.asarray(self._uniform((self.L,), all_rows))  # Mont-form by fiat
-        e = jnp.asarray(self._reduce_rows(self._gauss((self.L,)), all_rows))
+        a = jnp.asarray(self._uniform((self.dnum,), all_rows))  # Mont by fiat
+        e = jnp.asarray(self._reduce_rows(self._gauss((self.dnum,)), all_rows))
         return self._j_make_ksk(a, e, sprime_eval)
+
+    def _ksk_add_msg(self, b: jnp.ndarray, sprime_eval: jnp.ndarray
+                     ) -> jnp.ndarray:
+        """Add the digit messages to b [dnum, L+K, N]: digit j carries
+        (P mod q_i) * s' on every limb i of group j (zero on other limbs
+        and on specials, since P | P*g_j there) — level-independent."""
+        ntt = self.ntt
+        msg = mont_mul(sprime_eval[: self.L], self.Pmod_mont,
+                       ntt.p[: self.L], ntt.pinv[: self.L])        # [L, N]
+        dof = jnp.asarray(self.digit_of_limb.astype(np.int32))
+        limb = jnp.arange(self.L)
+        return b.at[dof, limb].set(
+            add_mod(b[dof, limb], msg, ntt.p[: self.L, 0][:, None]))
 
     @functools.cached_property
     def _j_make_ksk(self):
@@ -325,13 +372,7 @@ class CkksContext:
             b = add_mod(
                 neg_mod(mont_mul(a, self.s_eval, ntt.p, ntt.pinv), ntt.p),
                 e_ev, ntt.p)
-            # digit-j message: (P mod q_j) * s' in limb j only
-            msg = mont_mul(sprime_eval[: self.L], self.Pmod_mont,
-                           ntt.p[: self.L], ntt.pinv[: self.L])
-            idx = jnp.arange(self.L)
-            b = b.at[idx, idx].set(
-                add_mod(b[idx, idx], msg,
-                        ntt.p[: self.L, 0][:, None],))
+            b = self._ksk_add_msg(b, sprime_eval)
             # store in R^2 form
             return (ntt.to_mont(b, all_rows), ntt.to_mont(a, all_rows))
 
@@ -368,8 +409,9 @@ class CkksContext:
         all_rows = tuple(range(LK))
         perms = np.stack([automorphism_perm(self.n, g) for g in gs])
         m = len(gs)
-        a = jnp.asarray(self._uniform((m, self.L), all_rows))
-        e = jnp.asarray(self._reduce_rows(self._gauss((m, self.L)), all_rows))
+        a = jnp.asarray(self._uniform((m, self.dnum), all_rows))
+        e = jnp.asarray(self._reduce_rows(self._gauss((m, self.dnum)),
+                                          all_rows))
         b2, a2 = self._j_make_ksk_batch(jnp.asarray(perms), a, e)
         for i, g in enumerate(gs):
             self.galois_keys[g] = KeySwitchKey(b2[i], a2[i])
@@ -386,11 +428,7 @@ class CkksContext:
             b = add_mod(
                 neg_mod(mont_mul(a, self.s_eval, ntt.p, ntt.pinv), ntt.p),
                 e_ev, ntt.p)
-            msg = mont_mul(sprime[: self.L], self.Pmod_mont,
-                           ntt.p[: self.L], ntt.pinv[: self.L])
-            idx = jnp.arange(self.L)
-            b = b.at[idx, idx].set(
-                add_mod(b[idx, idx], msg, ntt.p[: self.L, 0][:, None]))
+            b = self._ksk_add_msg(b, sprime)
             return ntt.to_mont(b, all_rows), ntt.to_mont(a, all_rows)
 
         return jax.jit(jax.vmap(build_one))
@@ -687,32 +725,123 @@ class CkksContext:
         r_neg = cond_sub(r + fix, p_t)
         return jnp.where(c >= self.q_half[src], r_neg, r)
 
+    @functools.lru_cache(maxsize=None)
+    def _digit_tables(self, l: int) -> dict:
+        """Host-precomputed constants for the grouped fast base conversion
+        at level l.  Group j's active members are limbs
+        [j*g, min((j+1)*g, l)); ragged groups are zero-padded to g."""
+        g, d_l = self.gsize, self.num_digits(l)
+        tgt = self.targets(l)
+        T = len(tgt)
+        q = self.q_np
+        r_of = lambda i: self.primes[i].mont_r
+
+        limb_idx = np.zeros((d_l, g), dtype=np.int32)
+        mask = np.zeros((d_l, g), dtype=bool)
+        hatinv_r = np.zeros((d_l, g, 1), dtype=np.uint32)
+        muA = np.zeros((d_l, g, 1), dtype=np.uint32)
+        B64 = np.zeros((d_l, g, 1), dtype=np.uint32)
+        qhat_r = np.zeros((d_l, g, T, 1), dtype=np.uint32)
+        qj_r = np.zeros((d_l, T, 1), dtype=np.uint32)
+        for j in range(d_l):
+            mem = list(range(j * g, min((j + 1) * g, l)))
+            qj = 1
+            for i in mem:
+                qj *= int(q[i])
+            for t_i, t in enumerate(tgt):
+                qj_r[j, t_i, 0] = qj % int(q[t]) * r_of(t) % int(q[t])
+            for m_i, i in enumerate(mem):
+                limb_idx[j, m_i] = i
+                mask[j, m_i] = True
+                qhat = qj // int(q[i])
+                hatinv_r[j, m_i, 0] = (pow(qhat % int(q[i]), -1, int(q[i]))
+                                       * r_of(i) % int(q[i]))
+                muA[j, m_i, 0] = (1 << 32) // int(q[i])
+                B64[j, m_i, 0] = ((1 << 64) // int(q[i])) & 0xFFFFFFFF
+                for t_i, t in enumerate(tgt):
+                    qhat_r[j, m_i, t_i, 0] = (qhat % int(q[t]) * r_of(t)
+                                              % int(q[t]))
+        li = np.clip(limb_idx, 0, l - 1)
+        # cached as NUMPY (a jnp.asarray here could run inside a jit trace
+        # and cache a leaked tracer); _fbc_digits converts at use site —
+        # they are tiny constants folded into each compiled kernel
+        return {
+            "limb_idx": li,
+            "hatinv_r": hatinv_r,
+            "p_mem": np.asarray(self.ntt.p)[li],
+            "pinv_mem": np.asarray(self.ntt.pinv)[li],
+            "muA": muA, "B64": B64,
+            "qhat_r": qhat_r, "qj_r": qj_r,
+        }
+
+    def _fbc_digits(self, coeffs: jnp.ndarray, l: int) -> jnp.ndarray:
+        """Grouped digits via approximate-centered fast base conversion.
+
+        coeffs: [..., l, N] plain coefficient-domain residues.  Returns
+        [..., d_l, T, N]: for each group j, an integer representative of
+        c mod Q_j extended to all target limbs.  The centering correction
+        v = round(sum_i y_i / q_i) is computed in 32-bit fixed point with
+        error <= 2g ulps of 2^-32 — an off-by-one v changes the
+        representative by Q_j (correctness mod Q_j unaffected; only a
+        rare, bounded noise increment since P >= Q_j).
+        """
+        tb = {k: jnp.asarray(v) for k, v in self._digit_tables(l).items()}
+        tgt = self.targets(l)
+        p_t, pinv_t = _sel(self.ntt.p, tgt), _sel(self.ntt.pinv, tgt)
+        g = self.gsize
+        # y_i = [c * Qhat_i^-1]_{q_i}, zero on padded members
+        y = coeffs[..., tb["limb_idx"], :]                 # [..., d_l, g, N]
+        y = mont_mul(y, tb["hatinv_r"], tb["p_mem"], tb["pinv_mem"])
+        # v: fixed-point round(sum y_i / q_i); u_i ~ floor(y_i * 2^32 / q_i)
+        u = y * tb["muA"] + mul_hi_u32(y, tb["B64"])       # wrapping low mul
+        lo = u[..., 0, :]
+        hi = jnp.zeros_like(lo)
+        for i in range(1, g):
+            t = u[..., i, :]
+            lo2 = lo + t
+            hi = hi + (lo2 < t).astype(jnp.uint32)
+            lo = lo2
+        v = hi + (lo >> 31)                                # [..., d_l, N]
+        # D_j[t] = sum_i y_i * Qhat_i - v * Q_j  (mod q_t)
+        prod = mont_mul(y[..., :, :, None, :], tb["qhat_r"], p_t, pinv_t)
+        acc = prod[..., 0, :, :]
+        for i in range(1, g):
+            acc = add_mod(acc, prod[..., i, :, :], p_t)
+        vq = mont_mul(v[..., :, None, :], tb["qj_r"], p_t, pinv_t)
+        return sub_mod(acc, vq, p_t)
+
     def _decompose(self, c1: jnp.ndarray, l: int) -> jnp.ndarray:
-        """[l, N] Mont eval -> extended digits [l, T, N], plain, eval."""
+        """[l, N] Mont eval -> extended digits [d_l, T, N], plain, eval
+        (d_l = l for single-limb digits, ceil(l/gsize) when dnum is set)."""
         ntt = self.ntt
         rows = tuple(range(l))
         tgt = self.targets(l)
         coeffs = ntt.from_mont(ntt.intt(c1, rows), rows)
-        D = self._extend_centered(coeffs, rows, tgt)
+        if self.gsize == 1:
+            D = self._extend_centered(coeffs, rows, tgt)
+        else:
+            D = self._fbc_digits(coeffs, l)
         return ntt.ntt(D, tgt)
 
     def select_key(self, ksk: KeySwitchKey, l: int):
-        """Slice a keyswitch key down to the rows active at level l."""
+        """Slice a keyswitch key down to the digits/rows active at level l."""
         tgt = np.asarray(self.targets(l), dtype=np.int32)
-        return ksk.b[:l][:, tgt], ksk.a[:l][:, tgt]
+        d_l = self.num_digits(l)
+        return ksk.b[:d_l][:, tgt], ksk.a[:d_l][:, tgt]
 
     def _apply_ksk(self, D: jnp.ndarray, b: jnp.ndarray, a: jnp.ndarray,
                    l: int) -> jnp.ndarray:
         """sum_j D_j * key_j over digits -> [..., 2, T, N] Mont eval.
 
-        b, a: level-selected key tensors [(...,) l, T, N] (see select_key) —
-        explicit arrays so callers can scan over stacked rotation keys."""
+        b, a: level-selected key tensors [(...,) d_l, T, N] (see
+        select_key) — explicit arrays so callers can scan over stacked
+        rotation keys."""
         tgt = np.asarray(self.targets(l), dtype=np.int32)
         p_t, pinv_t = self.ntt.p[tgt], self.ntt.pinv[tgt]
         pb = mont_mul(D, b, p_t, pinv_t)
         pa = mont_mul(D, a, p_t, pinv_t)
         ks0, ks1 = pb[..., 0, :, :], pa[..., 0, :, :]
-        for j in range(1, l):
+        for j in range(1, D.shape[-3]):
             ks0 = add_mod(ks0, pb[..., j, :, :], p_t)
             ks1 = add_mod(ks1, pa[..., j, :, :], p_t)
         return jnp.stack([ks0, ks1], axis=-3)

@@ -40,7 +40,8 @@ from ..core.ntt import automorphism_perm
 from ..ckks.context import CkksContext, _sel
 from ..ckks.ciphertext import Ciphertext
 
-__all__ = ["bsgs_dims", "BsgsMatvec", "EncodedDiagonals", "extract_diagonals"]
+__all__ = ["bsgs_dims", "BsgsMatvec", "DiagonalMatvec", "EncodedDiagonals",
+           "extract_diagonals"]
 
 
 def bsgs_dims(d: int) -> tuple[int, int]:
@@ -116,15 +117,7 @@ class BsgsMatvec:
         scale = ctx.scale if scale is None else scale
         diags = extract_diagonals(w, self.d)                    # [B, G, D]
         tiled = np.tile(diags, (1, 1, ctx.slots // self.d))     # [B, G, slots]
-        # native C++/OpenMP batch encoder when available (N1 parity);
-        # numpy canonical-embedding fallback otherwise
-        from ..native import batch_encode
-
-        enc = ctx.encoder
-        coeffs = batch_encode(np.asarray(tiled, dtype=np.complex128), scale,
-                              enc._t_slot, enc._t_conj, ctx.n)
-        if coeffs is None:
-            coeffs = ctx.encoder.encode(tiled, scale).astype(np.int32)
+        coeffs = _encode_slot_array(ctx, tiled, scale)
         return EncodedDiagonals(coeffs, scale, self.d)
 
     # -- device staging ----------------------------------------------------
@@ -232,6 +225,73 @@ class BsgsMatvec:
         def kernel(c, pt_i32, *xs):
             return raw(c, rns_expand(ctx, pt_i32, l), *xs)
         return kernel
+
+
+class DiagonalMatvec(BsgsMatvec):
+    """Generalized BSGS over an arbitrary rotation-diagonal support.
+
+    Evaluates y = sum_{o in offsets} diag_o * rot_o(x) for a sparse offset
+    set (e.g. the collapsed-FFT bootstrap stages of ckks/dft.py, whose
+    offsets are the lattice {j*h : |j| < 2^radix}).  Offsets are factored
+    as o = (g*G + b) * u on the lattice of their gcd u; baby rotations are
+    u*[1..G), giant rotations g*G*u (g may be negative).  Same hoisted
+    kernel, host staging, and 1-level cost as the square-matrix engine.
+    """
+
+    def __init__(self, ctx: CkksContext, offsets):
+        self.ctx = ctx
+        s = ctx.slots
+        signed = sorted({((o % s) + s // 2) % s - s // 2 for o in offsets})
+        self.d = s
+        u = 0
+        for o in signed:
+            u = math.gcd(u, abs(o))
+        self.unit = u = max(u, 1)
+        js = [o // u for o in signed]
+        self.G = max(1, math.isqrt(len(js)))
+        if self.G * self.G < len(js):
+            self.G += 1
+        gset = {j // self.G for j in js} | {0}
+        self._g_list = [0] + sorted(g for g in gset if g != 0)
+        self._g_row = {g: i for i, g in enumerate(self._g_list)}
+        self.B = len(self._g_list)
+        self.baby_steps = tuple(u * b for b in range(1, self.G))
+        self.giant_steps = tuple(g * self.G * u for g in self._g_list[1:])
+        ctx.ensure_galois(self.baby_steps + self.giant_steps)
+        self._xs_cache: dict = {}
+
+    def encode_table(self, diags: dict[int, np.ndarray],
+                     scale: float | None = None) -> EncodedDiagonals:
+        """Encode {offset: diagonal[slots]} into the [B, G, N] layout
+        (group g's diagonals pre-rotated by +g*G*u for post-rotation)."""
+        ctx = self.ctx
+        s = ctx.slots
+        scale = ctx.scale if scale is None else scale
+        tbl = np.zeros((self.B, self.G, s), dtype=np.complex128)
+        for o, v in diags.items():
+            o_s = ((o % s) + s // 2) % s - s // 2
+            j = o_s // self.unit
+            assert j * self.unit == o_s, (o, self.unit)
+            b = j % self.G
+            g = (j - b) // self.G
+            tbl[self._g_row[g], b] = np.roll(v, g * self.G * self.unit)
+        coeffs = _encode_slot_array(ctx, tbl, scale)
+        return EncodedDiagonals(coeffs, scale, s)
+
+
+def _encode_slot_array(ctx: CkksContext, arr: np.ndarray, scale: float
+                       ) -> np.ndarray:
+    """Encode a [..., slots] complex slot array to int32 coefficients via
+    the native C++/OpenMP batch encoder (N1 parity) when available, numpy
+    canonical embedding otherwise."""
+    from ..native import batch_encode
+
+    enc = ctx.encoder
+    coeffs = batch_encode(np.asarray(arr, dtype=np.complex128), scale,
+                          enc._t_slot, enc._t_conj, ctx.n)
+    if coeffs is None:
+        coeffs = enc.encode(arr, scale).astype(np.int32)
+    return coeffs
 
 
 def rns_expand(ctx: CkksContext, coeffs: jnp.ndarray, level: int

@@ -51,6 +51,8 @@ class LimbShardedRotator:
         self.mesh = mesh
         self.axis = axis
         self.l = level
+        assert ctx.gsize == 1, \
+            "limb-sharded keyswitch assumes single-limb digits (dnum unset)"
         assert level % mesh.shape[axis] == 0, (level, mesh.shape[axis])
 
     @functools.lru_cache(maxsize=None)

@@ -18,7 +18,12 @@ def ctx():
 
 @pytest.fixture(scope="module")
 def bt(ctx):
-    return Bootstrapper(ctx, exp_degree=23)
+    return Bootstrapper(ctx, exp_degree=23, radix=None)   # dense linear maps
+
+
+@pytest.fixture(scope="module")
+def btf(ctx):
+    return Bootstrapper(ctx, exp_degree=23, radix=3)      # factorized FFT
 
 
 def rand_msg(ctx, seed=0, mag=0.8):
@@ -56,6 +61,39 @@ def test_s2c_inverts_c2s(ctx, bt):
     w = bt._pair_matvec(bt._c2s, ct)
     back = bt._pair_matvec(bt._s2c, w)
     np.testing.assert_allclose(ctx.decrypt_vec(back), m, atol=1e-2)
+
+
+def test_c2s_factorized_matches_dense(ctx, bt, btf):
+    """Factorized CoeffToSlot = dense CoeffToSlot up to the dropped
+    bit-reversal permutation (ckks/dft.py)."""
+    from fhe_spear_tpu.ckks.dft import bitrev
+
+    m = rand_msg(ctx, 12)
+    ct = ctx.encrypt(m)
+    dense = ctx.decrypt_vec_complex(bt._pair_matvec(bt._c2s, ct))
+    fact = ctx.decrypt_vec_complex(btf._coeff_to_slot(ct))
+    br = bitrev(ctx.slots.bit_length() - 1)
+    np.testing.assert_allclose(fact, dense[br], atol=2e-3)
+
+
+def test_s2c_factorized_inverts(ctx, btf):
+    m = rand_msg(ctx, 13)
+    ct = ctx.encrypt(m)
+    w = btf._coeff_to_slot(ct)
+    back = btf._slot_to_coeff(w)
+    np.testing.assert_allclose(ctx.decrypt_vec(back), m, atol=1e-2)
+
+
+def test_full_bootstrap_factorized(ctx, btf):
+    m = rand_msg(ctx, 14)
+    ct = ctx.mod_switch_to(ctx.encrypt(m), 2)
+    out = btf.bootstrap(ct)
+    assert out.level >= 3, out.level
+    got = ctx.decrypt_vec(out)
+    err = np.abs(got - m).max()
+    assert err < 0.05, err
+    corr = np.corrcoef(got, m)[0, 1]
+    assert corr > 0.999, corr
 
 
 def test_eval_exp(ctx, bt):

@@ -133,3 +133,58 @@ def test_encrypt_replicated(ctx):
     ct = ctx.encrypt_replicated(x)
     got = ctx.decrypt_vec(ct)
     np.testing.assert_allclose(got, np.tile(x, ctx.slots // 8), atol=1e-5)
+
+
+# --- dnum (grouped-digit hybrid keyswitch) ------------------------------
+
+@pytest.fixture(scope="module")
+def ctx_dnum():
+    # L=8 limbs in dnum=3 groups of 3/3/2; K=3 specials cover each
+    # group product (2 scale primes + q0 < 3 specials)
+    return CkksContext(CkksParams(n=256, num_limbs=8, num_special=3,
+                                  dnum=3), seed=9)
+
+
+def test_dnum_multiply_relin(ctx_dnum):
+    ctx = ctx_dnum
+    a = rand_vec(ctx, 20, cplx=True)
+    b = rand_vec(ctx, 21, cplx=True)
+    prod = ctx.rescale(ctx.multiply(ctx.encrypt(a), ctx.encrypt(b)))
+    np.testing.assert_allclose(ctx.decrypt_vec_complex(prod), a * b,
+                               atol=1e-4)
+
+
+@pytest.mark.parametrize("steps", [1, 5])
+def test_dnum_rotate(ctx_dnum, steps):
+    ctx = ctx_dnum
+    a = rand_vec(ctx, 22, cplx=True)
+    ctx.ensure_galois([steps])
+    got = ctx.decrypt_vec_complex(ctx.rotate(ctx.encrypt(a), steps))
+    np.testing.assert_allclose(got, np.roll(a, -steps), atol=1e-4)
+
+
+def test_dnum_rotate_partial_group_level(ctx_dnum):
+    """Levels that cut a digit group mid-way (l=4, 5, 7) must still
+    keyswitch exactly: the last digit's active member set shrinks."""
+    ctx = ctx_dnum
+    a = rand_vec(ctx, 23, cplx=True)
+    ctx.ensure_galois([3])
+    for lvl in (4, 5, 7, 2):
+        ct = ctx.mod_switch_to(ctx.encrypt(a), lvl)
+        got = ctx.decrypt_vec_complex(ctx.rotate(ct, 3))
+        np.testing.assert_allclose(got, np.roll(a, -3), atol=1e-4,
+                                   err_msg=f"level {lvl}")
+
+
+def test_dnum_deep_chain(ctx_dnum):
+    """Repeated multiply+rescale down the chain with relin at every level."""
+    ctx = ctx_dnum
+    a = rand_vec(ctx, 24, mag=0.9)
+    ct = ctx.encrypt(a)
+    ref = a.copy()
+    other = rand_vec(ctx, 25, mag=0.9)
+    while ct.level > 2:
+        o = ctx.encrypt(other, level=ct.level)
+        ct = ctx.rescale(ctx.multiply(ct, o))
+        ref = ref * other
+    np.testing.assert_allclose(ctx.decrypt_vec(ct), ref, atol=1e-3)
