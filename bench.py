@@ -5,10 +5,13 @@ Reproduces the reference's headline config (D=2048, F=8192, N=8192,
 pre-encoded diagonals) with random weights (seeded; FHE correctness is
 independent of weight values — test_fully_enc_bsgs.py random-weight mode).
 
-Runs BENCH_BLOCKS blocks (default 4) for BENCH_TOKENS+1 tokens (first
-token warms up compilation), measures steady-state per-block time, and
-reports the 24-block-extrapolated sec/token.  vs_baseline = 79 / value
-(speedup over the reference's A100 number; > 1 is faster).
+Runs BENCH_BLOCKS blocks (default 24 — a TRUE measured 24-block token,
+not an extrapolation) for BENCH_TOKENS+1 tokens (first token warms up
+compilation), measures steady-state per-block time, and reports
+sec/token.  vs_baseline = 79 / value (speedup over the reference's A100
+number; > 1 is faster).  Default stage mode is i32 (all 24 blocks'
+diagonals HBM-resident as int32 coefficients with in-kernel RNS
+expansion — the only mode where 24 blocks fit on one chip).
 
 Prints exactly ONE JSON line on stdout; progress goes to stderr.
 """
@@ -29,11 +32,15 @@ def main():
     d = int(os.environ.get("BENCH_D", "2048"))
     f = int(os.environ.get("BENCH_F", "8192"))
     n = int(os.environ.get("BENCH_N", "8192"))
-    num_blocks = int(os.environ.get("BENCH_BLOCKS", "4"))
+    num_blocks = int(os.environ.get("BENCH_BLOCKS", "24"))
     num_tokens = int(os.environ.get("BENCH_TOKENS", "2"))
     baseline = 79.0
 
     os.environ.setdefault("FHE_PREENC_CACHE", "/tmp/fhe_preenc_cache")
+    # 24 resident blocks only fit as int32 coefficients (in-kernel RNS
+    # expansion); smaller configs default to pre-expanded staging
+    os.environ.setdefault("FHE_STAGE_MODE",
+                          "i32" if num_blocks > 8 else "expanded")
 
     import jax
     log(f"devices: {jax.devices()}")

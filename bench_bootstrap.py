@@ -20,6 +20,9 @@ def log(msg):
 def main():
     n = int(os.environ.get("BENCH_N", "2048"))
     limbs = int(os.environ.get("BENCH_LIMBS", "22"))
+    special = int(os.environ.get("BENCH_SPECIAL", "2"))
+    dnum = int(os.environ.get("BENCH_DNUM", "0")) or None
+    radix = int(os.environ.get("BENCH_RADIX", "4")) or None
 
     import jax
     log(f"devices: {jax.devices()}")
@@ -29,13 +32,16 @@ def main():
 
     t0 = time.perf_counter()
     ctx = CkksContext(CkksParams.bootstrap(n=n, num_limbs=limbs,
-                                           num_special=2, hamming=64),
+                                           num_special=special, hamming=64,
+                                           dnum=dnum),
                       seed=0)
     log(f"context ({time.perf_counter() - t0:.1f}s)")
     t0 = time.perf_counter()
     deg = int(os.environ.get("BENCH_EXP_DEGREE", "31"))
-    margin = int(os.environ.get("BENCH_MARGIN_BITS", "5"))
-    bt = Bootstrapper(ctx, exp_degree=deg, margin_bits=margin)
+    margin = int(os.environ.get("BENCH_MARGIN_BITS", "3"))
+    width = int(os.environ.get("BENCH_WIDTH", "1"))
+    bt = Bootstrapper(ctx, exp_degree=deg, margin_bits=margin, radix=radix,
+                      evalmod_width=width)
     log(f"bootstrapper setup ({time.perf_counter() - t0:.1f}s)")
 
     rng = np.random.default_rng(1)
@@ -55,7 +61,9 @@ def main():
         f"corr {corr:.6f} out_level {out.level}")
 
     print(json.dumps({
-        "metric": f"CKKS bootstrap wall time, N={n}, L={limbs}, h=64",
+        "metric": f"CKKS bootstrap wall time, N={n}, L={limbs}, h=64"
+                  + (f", dnum={dnum}" if dnum else "")
+                  + (f", radix={radix}" if radix else " (dense C2S)"),
         "value": round(t_steady, 3),
         "unit": "s",
         "vs_baseline": round(0.7 / t_steady, 3),

@@ -1,0 +1,147 @@
+"""Fully-encrypted FFN inference at reference scale (SURVEY.md C11).
+
+Reference bar: D=2048, F=8192, 19 blocks, no bootstrap, corr 1.000000,
+70 s/block on A100 at N=32768/L0=60/P=3 (paper/main.tex:1130); and the
+24-block 4-bootstrap config at 40 s/block (paper/main.tex:1131).
+
+This backend uses 28-bit limbs, so the reference's 60x40-bit chain maps
+to 3 limbs/block + q0: L = 3*blocks + 2.  Deep chains force i32 staging
+(diagonals as int32 coefficients in HBM, per-giant-group RNS expansion
+in-kernel) and a dnum-grouped hybrid keyswitch (single-limb digits at
+l~60 would need ~500 MB/rotation-key and l NTT extensions per rotation).
+
+Env: BENCH_D/F/N/BLOCKS, BENCH_DNUM (digit groups), BENCH_SPECIAL,
+BENCH_BOOTSTRAP=1 to enable mid-chain refresh (requires sparse secret),
+BENCH_PASSES (default 2: first pass compiles, second is steady state).
+
+Prints ONE JSON line; progress to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    d = int(os.environ.get("BENCH_D", "2048"))
+    f = int(os.environ.get("BENCH_F", "8192"))
+    n = int(os.environ.get("BENCH_N", "16384"))
+    blocks = int(os.environ.get("BENCH_BLOCKS", "19"))
+    use_boot = os.environ.get("BENCH_BOOTSTRAP", "0") == "1"
+    passes = int(os.environ.get("BENCH_PASSES", "2"))
+    baseline = 40.0 if use_boot else 70.0
+
+    import jax
+    log(f"devices: {jax.devices()}")
+
+    from fhe_spear_tpu.ckks import CkksContext, CkksParams
+    from fhe_spear_tpu.models.fully_encrypted import (
+        FullyEncryptedFfn, calibrate_magnitude, run_fully_encrypted,
+        pre_encode_blocks)
+
+    # --- parameters -------------------------------------------------------
+    if use_boot:
+        limbs = int(os.environ.get("BENCH_LIMBS", "26"))
+        special = int(os.environ.get("BENCH_SPECIAL", "4"))
+        dnum = int(os.environ.get("BENCH_DNUM", "6"))
+        params = CkksParams.bootstrap(n=n, num_limbs=limbs,
+                                      num_special=special, hamming=64,
+                                      dnum=dnum)
+    else:
+        limbs = int(os.environ.get("BENCH_LIMBS", str(3 * blocks + 2)))
+        special = int(os.environ.get("BENCH_SPECIAL", "8"))
+        dnum = int(os.environ.get("BENCH_DNUM", "8"))
+        params = CkksParams(n=n, num_limbs=limbs, num_special=special,
+                            dnum=dnum)
+
+    t0 = time.perf_counter()
+    ctx = CkksContext(params, seed=0)
+    log(f"context N={n} L={limbs} K={special} dnum={dnum} "
+        f"({time.perf_counter() - t0:.1f}s)")
+
+    # --- model (random weights; FHE correctness is weight-independent —
+    # test_fully_enc_bsgs.py random-weight mode, seed 42) ------------------
+    rng = np.random.default_rng(42)
+    wdir = f"/tmp/fe_model_{d}_{f}_{blocks}"
+    os.makedirs(wdir, exist_ok=True)
+    w_keys, w_vals = [], []
+    t0 = time.perf_counter()
+    for b in range(blocks):
+        kf = os.path.join(wdir, f"k{b:03d}.npy")
+        vf = os.path.join(wdir, f"v{b:03d}.npy")
+        if not (os.path.exists(kf) and os.path.exists(vf)):
+            np.save(kf, (rng.standard_normal((d, f)) / np.sqrt(d)
+                         ).astype(np.float64))
+            np.save(vf, (rng.standard_normal((f, d)) / np.sqrt(f)
+                         ).astype(np.float64))
+        w_keys.append(np.load(kf, mmap_mode="r"))
+        w_vals.append(np.load(vf, mmap_mode="r"))
+    x0 = rng.uniform(-1, 1, d)
+    log(f"weights ({time.perf_counter() - t0:.1f}s)")
+
+    # --- calibrate + pre-encode (cached) ----------------------------------
+    t0 = time.perf_counter()
+    w_keys, w_vals = calibrate_magnitude(w_keys, w_vals, x0)
+    log(f"magnitude calibration ({time.perf_counter() - t0:.1f}s)")
+
+    eng = FullyEncryptedFfn(ctx, d, f, seq_chunks=True, stage_mode="i32")
+    cache = f"/tmp/fe_preenc_{d}_{f}_{blocks}_{n}"
+    t0 = time.perf_counter()
+    hosts = pre_encode_blocks(eng, w_keys, w_vals, cache_dir=cache,
+                              log_fn=log)
+    log(f"pre-encode ({time.perf_counter() - t0:.1f}s)")
+
+    boot_fn = None
+    if use_boot:
+        from fhe_spear_tpu.ckks.bootstrap import Bootstrapper
+
+        t0 = time.perf_counter()
+        bt = Bootstrapper(ctx)
+        boot_fn = bt.bootstrap
+        log(f"bootstrapper ({time.perf_counter() - t0:.1f}s)")
+
+    # --- run passes -------------------------------------------------------
+    all_stats = []
+    for ps in range(passes):
+        t0 = time.perf_counter()
+        stats = run_fully_encrypted(
+            ctx, w_keys, w_vals, x0, bootstrap_fn=boot_fn,
+            pre_encoded=hosts, eng=eng, calibrated=True,
+            verbose=False, log_fn=log)
+        log(f"pass {ps}: {time.perf_counter() - t0:.1f}s total, "
+            f"{len(stats)} blocks")
+        all_stats.append(stats)
+
+    final = all_stats[-1]
+    per_block = float(np.mean([s["sec"] for s in final]))
+    min_corr = min(s["corr"] for s in final)
+    max_err = max(s["max_err"] for s in final)
+    n_boot = final[-1]["bootstraps"] if final else 0
+
+    print(json.dumps({
+        "metric": f"fully-encrypted FFN s/block D={d} F={f} N={n} "
+                  f"{len(final)} blocks"
+                  + (f" ({n_boot} bootstraps)" if use_boot else
+                     " (no bootstrap)"),
+        "value": round(per_block, 3),
+        "unit": "s/block",
+        "vs_baseline": round(baseline / per_block, 3),
+        "detail": {
+            "blocks": len(final),
+            "min_corr": round(min_corr, 8),
+            "max_err": max_err,
+            "bootstraps": n_boot,
+            "final_level": final[-1]["level"] if final else None,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

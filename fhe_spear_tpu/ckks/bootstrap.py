@@ -53,37 +53,87 @@ class _FactorGroup:
     diagonal matvec.  The plaintext scale is prime-matched per level so
     the ciphertext scale is exactly preserved — or, when `target_scale`
     is set (the last group of a direction), exactly retargeted, folding
-    what would otherwise be a level-burning scale_to into the matvec."""
+    what would otherwise be a level-burning scale_to into the matvec.
+
+    width=2 encodes the stage diagonals at the two-prime product scale
+    (~2^56) and rescales twice per stage: the plaintext-encode rounding
+    error — which multiplies the ~(K+1)*q0/Delta_d slot magnitudes of
+    the raised ciphertext and random-walks through the remaining stages
+    — drops from 2^-28 to ~2^-53 relative.  Costs one extra level per
+    stage; use for CoeffToSlot (large slots), not SlotToCoeff (unit
+    slots)."""
 
     def __init__(self, ctx: CkksContext, diags: dict,
-                 target_scale: float | None = None):
+                 target_scale: float | None = None, width: int = 1):
         self.ctx = ctx
         self.diags = diags
         self.target = target_scale
+        self.w = width
         self.eng = DiagonalMatvec(ctx, list(diags.keys()))
         self._cache: dict = {}
 
+    def _stage_wide(self, l: int, sp: float):
+        """Host-encode the group's diagonal table at wide scale sp
+        (int64 coefficients, beyond the int32 staging word) and expand
+        to device residues at level l."""
+        import jax.numpy as jnp
+
+        ctx = self.ctx
+        tbl = self.eng.slot_table(self.diags)            # [B, G, slots]
+        coeffs = np.round(ctx.encoder.embed(tbl) * sp).astype(np.int64)
+        rows = tuple(range(l))
+        res = jnp.asarray(ctx._reduce_rows(coeffs, rows))
+        return ctx._j_to_eval_mont(rows)(res)            # [B, G, l, N]
+
     def __call__(self, ct: Ciphertext) -> Ciphertext:
+        ctx = self.ctx
         l = ct.level
         key = (l, ct.scale) if self.target else l
         if key not in self._cache:
-            sp = float(self.ctx.q_np[l - 1])
+            sp = float(ctx.q_np[l - 1])
+            if self.w > 1:
+                for j in range(2, self.w + 1):
+                    sp *= float(ctx.q_np[l - j])
             if self.target:
                 sp *= self.target / ct.scale
-            enc = self.eng.encode_table(self.diags, scale=sp)
-            self._cache[key] = (self.eng.load(enc, l), sp)
+            if self.w > 1:
+                pt = self._stage_wide(l, sp)
+            else:
+                pt = self.eng.load(self.eng.encode_table(self.diags,
+                                                         scale=sp), l)
+            self._cache[key] = (pt, sp)
         pt, sp = self._cache[key]
-        return self.eng(ct, pt, pt_scale=sp)
+        out = self.eng(ct, pt, pt_scale=sp)
+        for _ in range(self.w - 1):
+            out = ctx.rescale(out)
+        if self.target:
+            out = Ciphertext(out.c, self.target)  # exact by sp construction
+        return out
 
 
 class Bootstrapper:
-    def __init__(self, ctx: CkksContext, exp_degree: int = 27,
+    def __init__(self, ctx: CkksContext, exp_degree: int = 31,
                  range_k: int | None = None, margin_bits: int = 3,
-                 radix: int | None = 4):
+                 radix: int | None = 4, double_angles: int | None = None,
+                 evalmod_width: int = 1):
         """radix=None: dense S x S CoeffToSlot/SlotToCoeff (1 level each,
         fine for small rings).  radix=k: factorized level-collapsed FFT
         stages (ckks/dft.py) of <= 2^(k+1)-1 diagonals each — the only
         feasible mode at production ring sizes (docs/DESIGN.md section 10).
+
+        double_angles: number of squarings r after the Chebyshev exp
+        (default ceil(log2(K+1)) — just enough to cover the ModRaise
+        integer range).
+
+        evalmod_width: scale width w for the EvalMod segment.  w=1 is the
+        plain 28-bit scale; w=2 evaluates the Chebyshev chain at
+        Delta^2 ~ 2^56 (two rescales per multiply), dropping the per-op
+        noise floor from ~2^-28 to ~2^-56 relative.  The refresh error is
+        (EvalMod noise) x gamma x sqrt(S) — errors random-walk through
+        SlotToCoeff (measured: tools/diag_bootstrap.py, N=8192: EvalMod
+        noise 7e-4 -> combine 2.7e-2 -> final 0.27 at w=1) — so w=2 is
+        required for reference-grade refresh error (~0.025) at
+        production ring sizes.  Costs ~(5 + r) extra limbs.
         """
         assert ctx.params.secret_hamming_weight is not None, \
             "bootstrap needs a sparse secret (secret_hamming_weight)"
@@ -92,7 +142,9 @@ class Bootstrapper:
         # |I| <= K w.h.p.: I coeffs ~ Gaussian, std ~ sqrt(h/12)
         self.K = range_k if range_k is not None else max(
             8, int(math.ceil(5.0 * math.sqrt(h / 12.0))))
-        self.r = max(1, math.ceil(math.log2(self.K + 1)))
+        self.r = (double_angles if double_angles is not None
+                  else max(1, math.ceil(math.log2(self.K + 1))))
+        self.width = evalmod_width
         self.margin_bits = margin_bits
         self.delta_d = ctx.scale / float(1 << margin_bits)
         self.q0 = float(ctx.q_np[0])
@@ -104,18 +156,22 @@ class Bootstrapper:
 
         if self.radix:
             # level-collapsed FFT stages; the last group of each direction
-            # retargets the ciphertext scale to exactly ctx.scale
+            # retargets the ciphertext scale to exactly ctx.scale.  C2S
+            # stages inherit the wide scale (their inputs carry the large
+            # raised-coefficient slots); S2C inputs are unit-magnitude and
+            # stay single-prime.
             c2s_g = collapse_stages(inverse_stages(s), self.radix, s)
             s2c_g = collapse_stages(special_fft_stages(s), self.radix, s)
             self._c2s_f = [
                 _FactorGroup(ctx, g,
-                             ctx.scale if i == len(c2s_g) - 1 else None)
+                             ctx.scale if i == len(c2s_g) - 1 else None,
+                             width=self.width)
                 for i, g in enumerate(c2s_g)]
             self._s2c_f = [
                 _FactorGroup(ctx, g,
                              ctx.scale if i == len(s2c_g) - 1 else None)
                 for i, g in enumerate(s2c_g)]
-            self.linear_levels = len(c2s_g) + len(s2c_g)
+            self.linear_levels = self.width * len(c2s_g) + len(s2c_g)
         else:
             self.eng = BsgsMatvec(ctx, s)
             self.linear_levels = 2
@@ -226,9 +282,12 @@ class Bootstrapper:
     def _eval_exp(self, ct: Ciphertext) -> Ciphertext:
         """e^(2*pi*i*t/q0) on a real-slot ciphertext t (|t|<=(K+1)q0)."""
         ctx = self.ctx
-        e = eval_chebyshev(ctx, ct, self.exp_coeffs, *self.exp_range)
+        e = eval_chebyshev(ctx, ct, self.exp_coeffs, *self.exp_range,
+                           width=self.width)
         for _ in range(self.r):
-            e = ctx.rescale(ctx.multiply(e, e))
+            e = ctx.multiply(e, e)
+            for _ in range(self.width):
+                e = ctx.rescale(e)
         return e
 
     # -- the full pipeline -------------------------------------------------
@@ -274,5 +333,9 @@ class Bootstrapper:
         t2 = ctx.rescale(ctx.mul_scalar(di, 1.0))
         s = ctx.add(t1, Ciphertext(t2.c, t1.scale))
         wt = ctx.rescale(ctx.mul_scalar(s, 0.5 * gamma))
+        if self.width > 1:
+            # step back down from the wide EvalMod scale before the
+            # single-prime-matched SlotToCoeff stages
+            wt = ctx.scale_to(wt, ctx.scale)
         # 6. SlotToCoeff
         return self._slot_to_coeff(wt)

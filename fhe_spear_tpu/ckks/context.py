@@ -446,6 +446,28 @@ class CkksContext:
         rows = tuple(range(level))
         return Plaintext(self._to_eval_mont(coeffs, rows), scale)
 
+    def encode_const(self, c: complex, level: int | None = None,
+                     scale: float | None = None) -> Plaintext:
+        """Exact constant plaintext at ANY scale (beyond the encoder's
+        2^31 coefficient limit): the constant c occupies coefficient 0
+        (Re) and coefficient N/2 (Im) only — X^(N/2) evaluates to i in
+        every slot since 5^j = 1 mod 4 — and the residues are reduced
+        with python ints, so wide scales (e.g. Delta^2 ~ 2^56 in the
+        wide-EvalMod bootstrap) stay exact."""
+        level = self.L if level is None else level
+        scale = self.scale if scale is None else scale
+        c = complex(c)
+        vre = int(round(c.real * scale))
+        vim = int(round(c.imag * scale))
+        res = np.zeros((level, self.n), dtype=np.uint32)
+        for i in range(level):
+            q = int(self.q_np[i])
+            res[i, 0] = vre % q
+            res[i, self.n // 2] = vim % q
+        rows = tuple(range(level))
+        p = self._j_to_eval_mont(rows)(jnp.asarray(res))
+        return Plaintext(p, scale)
+
     def encrypt(self, vec, level: int | None = None, scale: float | None = None
                 ) -> Ciphertext:
         """Symmetric encryption (the reference encrypts symmetrically too,

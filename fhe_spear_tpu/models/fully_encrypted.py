@@ -33,7 +33,7 @@ from ..ops.bsgs import BsgsMatvec, _load_coeffs
 from ..core.modops import add_mod
 
 __all__ = ["FullyEncryptedFfn", "calibrate_magnitude", "run_fully_encrypted",
-           "plaintext_ffn_block", "full_vocab_head",
+           "pre_encode_blocks", "plaintext_ffn_block", "full_vocab_head",
            "generate_fully_encrypted_token"]
 
 
@@ -71,18 +71,26 @@ class FullyEncryptedFfn:
     """Fully-encrypted FFN block evaluator for fixed (ctx, D, F)."""
 
     def __init__(self, ctx: CkksContext, d: int, f: int,
-                 seq_chunks: bool = False):
+                 seq_chunks: bool = False, stage_mode: str = "expanded"):
         """seq_chunks: evaluate the F/D chunk axis with `lax.map`
         (sequential, one transient chunk live) instead of vmap — the
         memory-bounding analogue of the reference's batch-1024 full-scale
         FFN loop (fhe_rwkv_inference.py:623-725).  Same results; use for
         full-vocab/full-F models where 2*n_chunks resident intermediates
-        would exceed HBM."""
+        would exceed HBM.
+
+        stage_mode: "expanded" stages diagonals as NTT/Mont residues
+        [B, G, l, N] (fastest, but l-proportional HBM); "i32" stages them
+        as int32 coefficients [B, G, N] and RNS-expands per giant group
+        inside the kernel — mandatory for deep chains (l ~ 60 at
+        reference scale D=2048/F=8192/19 blocks, where expanded staging
+        would need ~3 TB)."""
         self.ctx = ctx
         self.d, self.f = d, f
         self.eng = BsgsMatvec(ctx, d)
         self.n_chunks = -(-f // d)
         self.seq_chunks = seq_chunks
+        self.stage_mode = stage_mode
 
     def encode_block(self, w_key: np.ndarray, w_val: np.ndarray) -> dict:
         """Host pre-encode: chunked key/value diagonal stacks (int32)."""
@@ -101,8 +109,12 @@ class FullyEncryptedFfn:
 
     def load_block(self, host: dict, level: int) -> dict:
         """Stage one block's diagonals at the levels they are consumed:
-        key at `level`, val at `level - 2`."""
+        key at `level`, val at `level - 2` (i32 mode: device-put the int32
+        coefficients unchanged; kernels expand per giant group)."""
         ctx = self.ctx
+        if self.stage_mode == "i32":
+            return {"key": jnp.asarray(host["key"]),
+                    "val": jnp.asarray(host["val"])}
         return {"key": _load_coeffs(ctx, jnp.asarray(host["key"]), level),
                 "val": _load_coeffs(ctx, jnp.asarray(host["val"]), level - 2)}
 
@@ -128,7 +140,7 @@ class FullyEncryptedFfn:
 
     @functools.lru_cache(maxsize=None)
     def _shared(self, l):
-        raw = self.eng._kernel_raw(l)
+        raw = self.eng._kernel_raw(l, i32=self.stage_mode == "i32")
         if self.seq_chunks:
             j = jax.jit(lambda c, pt, *xs:
                         jax.lax.map(lambda p: raw(c, p, *xs), pt))
@@ -138,7 +150,7 @@ class FullyEncryptedFfn:
 
     @functools.lru_cache(maxsize=None)
     def _batched(self, l):
-        raw = self.eng._kernel_raw(l)
+        raw = self.eng._kernel_raw(l, i32=self.stage_mode == "i32")
         if self.seq_chunks:
             j = jax.jit(lambda c, pt, *xs:
                         jax.lax.map(lambda cp: raw(cp[0], cp[1], *xs),
@@ -163,17 +175,58 @@ class FullyEncryptedFfn:
         return jax.jit(f)
 
 
+def pre_encode_blocks(eng: "FullyEncryptedFfn", w_keys, w_vals,
+                      cache_dir: str | None = None, log_fn=None):
+    """Host pre-encode of every block's diagonal plaintexts (the
+    reference's pre_encode_block + CPU offload, SURVEY.md C8;
+    scripts/bootstrap_generation.py:265-358).  With cache_dir set, each
+    block is persisted as raw mmap-able .npy files (npz CRC passes are
+    disk-bound on this host — docs/NOTES_r1.md)."""
+    import os
+
+    hosts = []
+    for b, (wk, wv) in enumerate(zip(w_keys, w_vals)):
+        if cache_dir:
+            bdir = os.path.join(cache_dir, f"block{b:03d}")
+            kf, vf = (os.path.join(bdir, "key.npy"),
+                      os.path.join(bdir, "val.npy"))
+            if os.path.exists(kf) and os.path.exists(vf):
+                hosts.append({"key": np.load(kf, mmap_mode="r"),
+                              "val": np.load(vf, mmap_mode="r")})
+                continue
+        t0 = time.perf_counter()
+        host = eng.encode_block(np.asarray(wk), np.asarray(wv))
+        if cache_dir:
+            bdir = os.path.join(cache_dir, f"block{b:03d}")
+            os.makedirs(bdir, exist_ok=True)
+            np.save(os.path.join(bdir, "key.npy"), host["key"])
+            np.save(os.path.join(bdir, "val.npy"), host["val"])
+        if log_fn:
+            log_fn(f"  pre-encode block {b}: {time.perf_counter() - t0:.1f}s")
+        hosts.append(host)
+    return hosts
+
+
 def run_fully_encrypted(ctx: CkksContext, w_keys, w_vals, x0,
                         bootstrap_fn=None, min_levels: int = 4,
                         verbose: bool = True, return_ct: bool = False,
-                        seq_chunks: bool = False):
+                        seq_chunks: bool = False, stage_mode: str = "expanded",
+                        pre_encoded: list | None = None, eng=None,
+                        log_fn=None, calibrated: bool = False):
     """Chain blocks with per-block plaintext verification (the reference's
     main loop, test_fully_enc_bsgs.py:238-298).  Returns per-block stats;
     with return_ct=True returns (stats, final_ciphertext) so a client-side
-    head can consume the encrypted result."""
-    d, f = w_keys[0].shape
-    eng = FullyEncryptedFfn(ctx, d, f, seq_chunks=seq_chunks)
-    w_keys, w_vals = calibrate_magnitude(w_keys, w_vals, x0)
+    head can consume the encrypted result.
+
+    pre_encoded: optional pre_encode_blocks output — when given (with
+    calibrated=True weights) encoding stays out of the per-block timing,
+    mirroring the reference's --preencoded mode."""
+    d, f = np.asarray(w_keys[0]).shape
+    if eng is None:
+        eng = FullyEncryptedFfn(ctx, d, f, seq_chunks=seq_chunks,
+                                stage_mode=stage_mode)
+    if not calibrated:
+        w_keys, w_vals = calibrate_magnitude(w_keys, w_vals, x0)
 
     x_ref = np.asarray(x0, dtype=np.float64).copy()
     refs = [x_ref.copy()]
@@ -184,30 +237,33 @@ def run_fully_encrypted(ctx: CkksContext, w_keys, w_vals, x0,
     ct = ctx.encrypt_replicated(x0)
     stats = []
     n_boot = 0
+    say = log_fn if log_fn else (print if verbose else None)
     for b, (wk, wv) in enumerate(zip(w_keys, w_vals)):
         if ct.level - 1 < min_levels:
             if bootstrap_fn is None:
-                if verbose:
-                    print(f"  out of levels at block {b} (level={ct.level})")
+                if say:
+                    say(f"  out of levels at block {b} (level={ct.level})")
                 break
             t0 = time.perf_counter()
             ct = bootstrap_fn(ct)
             n_boot += 1
-            if verbose:
-                print(f"  bootstrap before block {b}: "
-                      f"{time.perf_counter() - t0:.2f}s -> level {ct.level}")
+            if say:
+                say(f"  bootstrap before block {b}: "
+                    f"{time.perf_counter() - t0:.2f}s -> level {ct.level}")
         t0 = time.perf_counter()
-        staged = eng.load_block(eng.encode_block(wk, wv), ct.level)
-        ct = eng(ct, staged)
+        host = (pre_encoded[b] if pre_encoded is not None
+                else eng.encode_block(np.asarray(wk), np.asarray(wv)))
+        ct = eng(ct, eng.load_block(host, ct.level))
+        jax.block_until_ready(ct.c)
         dt = time.perf_counter() - t0
         dec = ctx.decrypt_vec(ct, d)
         corr = float(np.corrcoef(dec, refs[b + 1])[0, 1])
         err = float(np.max(np.abs(dec - refs[b + 1])))
         stats.append({"block": b, "corr": corr, "max_err": err, "sec": dt,
                       "level": ct.level, "bootstraps": n_boot})
-        if verbose:
-            print(f"  block {b}: corr={corr:.10f} max_err={err:.2e} "
-                  f"level={ct.level} {dt:.2f}s")
+        if say:
+            say(f"  block {b}: corr={corr:.10f} max_err={err:.2e} "
+                f"level={ct.level} {dt:.2f}s")
     return (stats, ct) if return_ct else stats
 
 

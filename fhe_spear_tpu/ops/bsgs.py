@@ -159,10 +159,18 @@ class BsgsMatvec:
         return self._xs_cache[l]
 
     @functools.lru_cache(maxsize=None)
-    def _kernel_raw(self, l: int):
-        """kernel(c, pt, bp, bkb, bka, gp, gkb, gka) — all data as args."""
+    def _kernel_raw(self, l: int, i32: bool = False):
+        """kernel(c, pt, bp, bkb, bka, gp, gkb, gka) — all data as args.
+
+        i32=True: pt arrives as int32 coefficient encodings [B, G, N] and
+        each giant group is RNS-expanded to [G, l, N] residues INSIDE the
+        scan body — one group-sized transient regardless of B or l, which
+        is what lets deep chains (l ~ 60) and 24-resident-block models run
+        without materializing [B, G, l, N]."""
         ctx = self.ctx
         p, _ = ctx._p(l)
+        expand = (lambda ptg: rns_expand(ctx, ptg, l)) if i32 else (
+            lambda ptg: ptg)
 
         def rotate_with(c, D1, perm, kb, ka):
             """Rotate ct (given its hoisted digits D1) by one stacked key."""
@@ -195,11 +203,11 @@ class BsgsMatvec:
             else:
                 babies = c[None]
             # giant group 0 (no rotation)
-            y = contract(babies, pt[0])
+            y = contract(babies, expand(pt[0]))
             if self.giant_steps:
                 def giant_body(y, xs):
                     ptg, perm, kb, ka = xs
-                    acc = contract(babies, ptg)
+                    acc = contract(babies, expand(ptg))
                     D2 = ctx._decompose(acc[..., 1, :, :], l)
                     y = add_mod(y, rotate_with(acc, D2, perm, kb, ka), p)
                     return y, None
@@ -213,18 +221,10 @@ class BsgsMatvec:
         jitted = jax.jit(self._kernel_raw(l))
         return lambda c, pt: jitted(c, pt, *self._xs(l))
 
-    @functools.lru_cache(maxsize=None)
     def _kernel_raw_i32(self, l: int):
-        """Like _kernel_raw but takes int32 coefficient-domain diagonals
-        [B, G, N] and expands them to NTT/Mont residues inside the kernel.
-        ~2x the kernel arithmetic, but diagonals stay int32 in HBM (4x
-        smaller: a full 24-block D=2048 model fits on one chip)."""
-        raw = self._kernel_raw(l)
-        ctx = self.ctx
-
-        def kernel(c, pt_i32, *xs):
-            return raw(c, rns_expand(ctx, pt_i32, l), *xs)
-        return kernel
+        """int32-staged variant: diagonals arrive as [B, G, N] int32 and
+        are expanded per giant group inside the scan (see _kernel_raw)."""
+        return self._kernel_raw(l, i32=True)
 
 
 class DiagonalMatvec(BsgsMatvec):
@@ -260,13 +260,10 @@ class DiagonalMatvec(BsgsMatvec):
         ctx.ensure_galois(self.baby_steps + self.giant_steps)
         self._xs_cache: dict = {}
 
-    def encode_table(self, diags: dict[int, np.ndarray],
-                     scale: float | None = None) -> EncodedDiagonals:
-        """Encode {offset: diagonal[slots]} into the [B, G, N] layout
+    def slot_table(self, diags: dict[int, np.ndarray]) -> np.ndarray:
+        """{offset: diagonal[slots]} -> the [B, G, slots] complex layout
         (group g's diagonals pre-rotated by +g*G*u for post-rotation)."""
-        ctx = self.ctx
-        s = ctx.slots
-        scale = ctx.scale if scale is None else scale
+        s = self.ctx.slots
         tbl = np.zeros((self.B, self.G, s), dtype=np.complex128)
         for o, v in diags.items():
             o_s = ((o % s) + s // 2) % s - s // 2
@@ -275,8 +272,14 @@ class DiagonalMatvec(BsgsMatvec):
             b = j % self.G
             g = (j - b) // self.G
             tbl[self._g_row[g], b] = np.roll(v, g * self.G * self.unit)
-        coeffs = _encode_slot_array(ctx, tbl, scale)
-        return EncodedDiagonals(coeffs, scale, s)
+        return tbl
+
+    def encode_table(self, diags: dict[int, np.ndarray],
+                     scale: float | None = None) -> EncodedDiagonals:
+        ctx = self.ctx
+        scale = ctx.scale if scale is None else scale
+        coeffs = _encode_slot_array(ctx, self.slot_table(diags), scale)
+        return EncodedDiagonals(coeffs, scale, ctx.slots)
 
 
 def _encode_slot_array(ctx: CkksContext, arr: np.ndarray, scale: float

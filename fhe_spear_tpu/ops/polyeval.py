@@ -57,11 +57,20 @@ def cheb_divmod(c: np.ndarray, g: int):
 
 
 class _ChebEvaluator:
-    """Holds baby/giant Chebyshev ciphertexts and runs the PS recursion."""
+    """Holds baby/giant Chebyshev ciphertexts and runs the PS recursion.
 
-    def __init__(self, ctx: CkksContext, u: Ciphertext, m: int, deg: int):
+    width w > 1 evaluates at a COMPOSITE scale Delta_w ~ (2^28)^w: every
+    multiply is followed by w rescales, so relative rounding noise per
+    level is ~2^(-28w) instead of 2^-28 — the uint32-RNS equivalent of the
+    reference backend's 40-60-bit scale primes.  This is what keeps the
+    bootstrap EvalMod noise below the gamma*sqrt(S) amplification at
+    production ring sizes (measured: tools/diag_bootstrap.py)."""
+
+    def __init__(self, ctx: CkksContext, u: Ciphertext, m: int, deg: int,
+                 width: int = 1):
         self.ctx = ctx
         self.m = m
+        self.w = width
         self.T = {1: u}
         for k in range(2, m):
             half, other = k // 2, k - k // 2
@@ -80,10 +89,21 @@ class _ChebEvaluator:
             cur = self._double(cur)
             self.giants[g] = cur
 
+    def _rs(self, x):
+        for _ in range(self.w):
+            x = self.ctx.rescale(x)
+        return x
+
+    def _qprod(self, level):
+        p = 1.0
+        for j in range(level, level + self.w):
+            p *= float(self.ctx.q_np[j])
+        return p
+
     # T_2k = 2 T_k^2 - 1; the 2x is an add, so one level per doubling
     def _double(self, tk):
         ctx = self.ctx
-        sq = ctx.rescale(ctx.multiply(tk, tk))
+        sq = self._rs(ctx.multiply(tk, tk))
         two = ctx.add(sq, sq)
         return _add_const(ctx, two, -1.0)
 
@@ -91,11 +111,11 @@ class _ChebEvaluator:
     def _product(self, ta, tb, d):
         ctx = self.ctx
         lvl = min(ta.level, tb.level)
-        prod = ctx.rescale(ctx.multiply(ctx.mod_switch_to(ta, lvl),
-                                        ctx.mod_switch_to(tb, lvl)))
+        prod = self._rs(ctx.multiply(ctx.mod_switch_to(ta, lvl),
+                                     ctx.mod_switch_to(tb, lvl)))
         prod = ctx.add(prod, prod)
         td = (_one_like(ctx, prod) if d == 0
-              else _match(ctx, self.T[d], prod.level, prod.scale))
+              else _match(ctx, self.T[d], prod.level, prod.scale, self.w))
         return ctx.sub(prod, td)
 
     # -- recursion ----------------------------------------------------
@@ -109,10 +129,10 @@ class _ChebEvaluator:
             g *= 2
         q, r = cheb_divmod(coeffs, g)
         ctx = self.ctx
-        gm = _match(ctx, self.giants[g], level + 1, None)
-        qq = self.eval(q, level + 1,
-                       scale * float(ctx.q_np[level]) / gm.scale)
-        prod = ctx.rescale(ctx.multiply(qq, gm))
+        gm = _match(ctx, self.giants[g], level + self.w, None, self.w)
+        qq = self.eval(q, level + self.w,
+                       scale * self._qprod(level) / gm.scale)
+        prod = self._rs(ctx.multiply(qq, gm))
         rr = self.eval(r, level, prod.scale)
         return ctx.add(rr, prod)
 
@@ -123,10 +143,10 @@ class _ChebEvaluator:
         for k in range(1, len(cs)):
             if abs(cs[k]) < 1e-14:
                 continue
-            tk = _match(ctx, self.T[k], level + 1, None)
+            tk = _match(ctx, self.T[k], level + self.w, None, self.w)
             term = _mul_scalar_c(ctx, tk, cs[k],
-                                 scale * float(ctx.q_np[level]) / tk.scale)
-            term = ctx.rescale(term)
+                                 scale * self._qprod(level) / tk.scale)
+            term = self._rs(term)
             acc = term if acc is None else ctx.add(acc, term)
         if acc is None:
             acc = Ciphertext(_zero_c(ctx, self.T[1], level), scale)
@@ -151,14 +171,20 @@ def _one_like(ctx, x):
 
 
 def _match(ctx: CkksContext, x: Ciphertext, level: int,
-           scale: float | None) -> Ciphertext:
+           scale: float | None, width: int = 1) -> Ciphertext:
     """Bring x down to `level` (and, if given, exactly to `scale`)."""
-    if x.level > level + 1:
-        x = ctx.mod_switch_to(x, level + 1)
-    if x.level == level + 1:
-        target = ((scale if scale is not None else ctx.scale)
-                  * float(ctx.q_np[level]) / x.scale)
-        return ctx.rescale(ctx.mul_scalar(x, 1.0, scale=target))
+    if x.level > level + width:
+        x = ctx.mod_switch_to(x, level + width)
+    if x.level == level + width:
+        prod = 1.0
+        for j in range(level, level + width):
+            prod *= float(ctx.q_np[j])
+        target = ((scale if scale is not None else ctx.scale ** width)
+                  * prod / x.scale)
+        x = ctx.mul_scalar(x, 1.0, scale=target)
+        for _ in range(width):
+            x = ctx.rescale(x)
+        return x
     assert x.level == level, (x.level, level)
     if scale is not None and abs(x.scale - scale) > 1e-6 * scale:
         raise ValueError(f"scale mismatch: {x.scale} vs {scale}")
@@ -169,35 +195,46 @@ def _mul_scalar_c(ctx, x, c, scale):
     c = complex(c)
     if abs(c.imag) < 1e-14:
         return ctx.mul_scalar(x, c.real, scale=scale)
-    pt = ctx.encode(np.full(ctx.slots, c), level=x.level, scale=scale)
+    pt = ctx.encode_const(c, level=x.level, scale=scale)
     return ctx.mul_plain(x, pt)
 
 
 def _add_const(ctx, x, c):
-    pt = ctx.encode(np.full(ctx.slots, complex(c)), level=x.level,
-                    scale=x.scale)
+    pt = ctx.encode_const(complex(c), level=x.level, scale=x.scale)
     return ctx.add_plain(x, pt)
 
 
 def eval_chebyshev(ctx: CkksContext, ct: Ciphertext, coeffs: np.ndarray,
-                   a: float, b: float, m: int | None = None) -> Ciphertext:
-    """Evaluate a Chebyshev series on ct's slots (values in [a, b])."""
+                   a: float, b: float, m: int | None = None,
+                   width: int = 1) -> Ciphertext:
+    """Evaluate a Chebyshev series on ct's slots (values in [a, b]).
+
+    width > 1: evaluate at composite scale Delta^width (the affine step
+    raises ct to the wide scale; see _ChebEvaluator)."""
     coeffs = np.asarray(coeffs, dtype=np.complex128)
     deg = len(coeffs) - 1
     if m is None:
         m = 1
         while m * m < deg + 1:
             m *= 2
-    # affine to [-1,1]
+    # affine to [-1,1], raising to the working scale Delta^width
     alpha, beta = 2.0 / (b - a), -(b + a) / (b - a)
-    u = ctx.rescale(ctx.mul_scalar(ct, alpha))
+    l = ct.level
+    prod = 1.0
+    for j in range(l - width, l):
+        prod *= float(ctx.q_np[j])
+    wide = ctx.scale ** width
+    u = ctx.mul_scalar(ct, alpha, scale=wide * prod / ct.scale)
+    for _ in range(width):
+        u = ctx.rescale(u)
+    u = Ciphertext(u.c, wide)  # exact by construction of the adjusting scale
     if abs(beta) > 1e-12:
         u = _add_const(ctx, u, beta)
 
-    ev = _ChebEvaluator(ctx, u, m, deg)
-    lvl = (min(c.level for c in ev.giants.values()) - 1 if ev.giants
-           else u.level - 1)
-    return ev.eval(coeffs, lvl, ctx.scale)
+    ev = _ChebEvaluator(ctx, u, m, deg, width)
+    lvl = (min(c.level for c in ev.giants.values()) - width if ev.giants
+           else u.level - width)
+    return ev.eval(coeffs, lvl, wide)
 
 
 def eval_sigmoid(ctx: CkksContext, ct: Ciphertext, a: float = -8.0,

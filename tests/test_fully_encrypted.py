@@ -72,6 +72,32 @@ def test_full_vocab_token_and_seq_chunks(ctx):
         assert corr > 0.999, (seq, corr)
 
 
+def test_deep_chain_i32_dnum():
+    """The production deep-chain configuration in miniature: i32 staging
+    (per-giant-group in-kernel RNS expansion), dnum-grouped keyswitch,
+    pre-encoded blocks — the exact path bench_fully_enc.py runs at
+    D=2048/F=8192/19 blocks."""
+    from fhe_spear_tpu.models.fully_encrypted import (
+        FullyEncryptedFfn, pre_encode_blocks)
+
+    ctx = CkksContext(CkksParams(n=256, num_limbs=11, num_special=3,
+                                 dnum=4), seed=53)
+    rng = np.random.default_rng(17)
+    d, f, nb = 16, 64, 3
+    wk = [rng.normal(0, 0.02, (d, f)) for _ in range(nb)]
+    wv = [rng.normal(0, 0.02, (f, d)) for _ in range(nb)]
+    x0 = rng.normal(0, 0.1, d)
+    wk_c, wv_c = calibrate_magnitude(wk, wv, x0)
+    eng = FullyEncryptedFfn(ctx, d, f, seq_chunks=True, stage_mode="i32")
+    hosts = pre_encode_blocks(eng, wk_c, wv_c)
+    stats = run_fully_encrypted(ctx, wk_c, wv_c, x0, pre_encoded=hosts,
+                                eng=eng, calibrated=True, verbose=False)
+    assert len(stats) == nb
+    for s in stats:
+        assert s["corr"] > 0.999, stats
+        assert s["max_err"] < 1e-2, stats
+
+
 def test_timemix_block():
     from fhe_spear_tpu.models.fully_encrypted import FullyEncryptedTimeMix
 
