@@ -68,10 +68,22 @@ def main():
     ctx = CkksContext(CkksParams(n=n, num_limbs=3, num_special=1), seed=0)
     log(f"context + keys ({time.perf_counter() - t0:.1f}s)")
 
-    results = run_generation(ctx, model, seed_tokens=[5, 11, 2],
-                             num_tokens=num_tokens + 1, level=3, verbose=False,
-                             fused=os.environ.get("BENCH_FUSED", "1") == "1",
-                             log_fn=log)
+    mode = os.environ.get("BENCH_MODE", "classic")
+    if mode == "device":
+        # device-resident client: ONE dispatch per token (the whole
+        # 24-block x 4-round-trip protocol as a single jitted scan)
+        from fhe_spear_tpu.models.device_client import run_generation_device
+
+        results = run_generation_device(
+            ctx, model, seed_tokens=[5, 11, 2], num_tokens=num_tokens + 1,
+            level=3, cache_dir=os.environ.get("FHE_PREENC_CACHE"),
+            log_fn=log)
+    else:
+        results = run_generation(
+            ctx, model, seed_tokens=[5, 11, 2],
+            num_tokens=num_tokens + 1, level=3, verbose=False,
+            fused=os.environ.get("BENCH_FUSED", "1") == "1",
+            log_fn=log)
     for i, r in enumerate(results):
         log(f"token {i}: match={r['match']} corr={r['corr']:.6f} "
             f"{r['sec']:.2f}s")
@@ -83,7 +95,9 @@ def main():
     min_corr = min(r["corr"] for r in results)
 
     kind = ("24-block measured" if num_blocks == 24
-            else "24-block extrapolated")
+            else f"{num_blocks}-block, x24/{num_blocks} extrapolated")
+    if mode == "device":
+        kind += ", device-client"
     print(json.dumps({
         "metric": f"sec/token client-aided RWKV-7 D={d} F={f} N={n} "
                   f"({kind})",

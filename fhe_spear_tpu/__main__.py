@@ -109,6 +109,12 @@ def cmd_fhesim(args):
     calibrate_main()
 
 
+def cmd_noise_study(args):
+    from .apps.noise_study import main as study_main
+
+    study_main()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="fhe_spear_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -157,6 +163,10 @@ def main(argv=None):
 
     s = sub.add_parser("fhesim")
     s.set_defaults(fn=cmd_fhesim)
+
+    ns = sub.add_parser("noise-study",
+                        help="per-passage vs per-class leak study (C14)")
+    ns.set_defaults(fn=cmd_noise_study)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -4,10 +4,13 @@ oracle is TenSEAL; here it is this framework's own CKKS).
 
 measure_noise_constant: encrypts random unit vectors, scores them CT-CT
 through the column-packed engine, and fits sigma_eps = c * sqrt(d) across
-dims.  validate() runs the reference's pass/fail bands:
+dims.  validate() runs the reference's 4 pass/fail bands
+(/root/reference/fhesim/validate.py:73-209):
   1. fitted c within [0.5, 2.0]x of the shipped constant
   2. formula prediction error < 0.10 against measured correlations
   3. simulated vs real top-k overlap >= 6/10
+  4. per-context bias std consistent with the shipped bias model
+     (measured zero on this backend; see measure_context_bias)
 Writes fhesim_calibration.json next to this file when run as a script.
 """
 
@@ -20,7 +23,7 @@ import numpy as np
 
 from .simulator import FheAccuracySimulator, _normalize
 
-__all__ = ["measure_noise_constant", "validate"]
+__all__ = ["measure_noise_constant", "measure_context_bias", "validate"]
 
 
 def _real_scores(ctx, query, docs):
@@ -46,6 +49,33 @@ def measure_noise_constant(ctx, dims=(8, 16, 32, 64), n_docs=64, seed=0):
         per_dim[d] = sigma
         cs.append(sigma / np.sqrt(d))
     return float(np.mean(cs)), per_dim
+
+
+def measure_context_bias(params, n_contexts=6, n_trials=24, dim=32, seed=0):
+    """Per-context systematic score bias (reference validate.py:133-164):
+    for each of n_contexts FRESH contexts (fresh secret key + noise),
+    average the CT-CT score error over n_trials random pairs; return
+    (std of the per-context means, expected sampling std if the true
+    bias is zero).  On this backend the measured std is consistent with
+    zero — encryption noise and rescale rounding are zero-mean and
+    independent of the key — which the shipped BIAS_STD=0 records."""
+    from ..ckks import CkksContext
+
+    rng = np.random.default_rng(seed)
+    means = []
+    sigma_one = None
+    for ci in range(n_contexts):
+        ctx = CkksContext(params, seed=1000 + ci)
+        docs = _normalize(rng.normal(0, 1, (n_trials, dim)))
+        q = _normalize(rng.normal(0, 1, dim))
+        err = _real_scores(ctx, q, docs) - docs @ q
+        means.append(float(np.mean(err)))
+        sigma_one = float(np.std(err))
+    bias_std = float(np.std(means))
+    # sampling floor: even a zero-bias backend shows std(means) of about
+    # sigma_eps/sqrt(n_trials)
+    floor = (sigma_one or 0.0) / np.sqrt(n_trials)
+    return bias_std, floor
 
 
 def validate(ctx, seed=0, verbose=True):
@@ -81,6 +111,17 @@ def validate(ctx, seed=0, verbose=True):
     overlap = len(top_real & top_sim)
     results["topk_overlap"] = {"overlap": overlap, "k": k,
                                "pass": overlap >= 6}
+
+    # 4. context-bias band (reference validate.py:133-164).  The TenSEAL
+    # band checks sim_bias_std/real_bias_std in [0.7, 1.3]; this backend
+    # models bias as exactly zero, so the band instead verifies the
+    # MEASURED per-context bias is statistically indistinguishable from
+    # zero (within 3x the n_trials sampling floor).
+    bias_std, floor = measure_context_bias(ctx.params, seed=seed)
+    results["context_bias"] = {
+        "real_bias_std": bias_std, "sampling_floor": floor,
+        "sim_bias_std": sim._bias_std,
+        "pass": bias_std <= max(3.0 * floor, 1e-9)}
 
     n_tests = len(results)
     n_pass = sum(r["pass"] for r in results.values())

@@ -79,8 +79,20 @@ class FheAccuracySimulator:
     NOISE_CONSTANTS = {2048: 7.5e-7, 4096: 5.3e-7, 8192: 3.8e-7,
                        16384: 2.7e-7}
 
+    # Per-context systematic score bias (the reference's TenSEAL backend
+    # shows BIAS_STD 0.09-0.36, fhesim/simulator.py:33).  Measured on this
+    # uint32 backend the per-context mean error is statistically zero —
+    # symmetric encryption noise and rescale rounding are zero-mean and
+    # key-independent (fhesim/calibrate.py measure_context_bias;
+    # fhesim_calibration.json records the measurement) — so the default
+    # bias model is exactly 0; simulate_bias=True with an explicit
+    # bias_std reproduces biased backends for comparison studies.
+    BIAS_STD = {2048: 0.0, 4096: 0.0, 8192: 0.0, 16384: 0.0}
+
     def __init__(self, poly_modulus_degree: int = 8192,
-                 noise_constant: float | None = None, seed: int = 0):
+                 noise_constant: float | None = None, seed: int = 0,
+                 simulate_bias: bool = False,
+                 bias_std: float | None = None):
         self.n = poly_modulus_degree
         if noise_constant is not None:
             self.c = noise_constant
@@ -89,6 +101,19 @@ class FheAccuracySimulator:
         else:
             self.c = 1.5e-6 * (8192 / poly_modulus_degree) ** 0.5
         self.rng = np.random.default_rng(seed)
+        self.simulate_bias = simulate_bias
+        self._bias_std = (bias_std if bias_std is not None
+                          else self.BIAS_STD.get(poly_modulus_degree, 0.0))
+        self.context_bias = 0.0
+        if simulate_bias:
+            self.new_context()
+
+    def new_context(self) -> float:
+        """Draw a fresh per-context systematic bias (reference
+        simulator.py:54; zero-std on this backend unless overridden)."""
+        self.context_bias = (float(self.rng.normal(0, self._bias_std))
+                             if self._bias_std > 0 else 0.0)
+        return self.context_bias
 
     # -- prediction (no encryption) ------------------------------------
 
@@ -148,14 +173,17 @@ class FheAccuracySimulator:
 
     def simulate_dot_product(self, x, y):
         d = len(x)
-        return float(np.dot(x, y) + self.rng.normal(0, self.c * np.sqrt(d)))
+        return float(np.dot(x, y) + self.rng.normal(0, self.c * np.sqrt(d))
+                     + self.context_bias)
 
     def simulate_scores(self, query, docs):
-        """Vectorized: plaintext scores + iid Gaussian CKKS noise."""
+        """Vectorized: plaintext scores + iid Gaussian CKKS noise (+ the
+        per-context bias, zero on this backend)."""
         docs = np.atleast_2d(docs)
         d = docs.shape[-1]
-        return docs @ query + self.rng.normal(0, self.c * np.sqrt(d),
-                                              len(docs))
+        return (docs @ query + self.rng.normal(0, self.c * np.sqrt(d),
+                                               len(docs))
+                + self.context_bias)
 
     def simulate_retrieval(self, embeddings, query_idx, k=10):
         x = _normalize(np.asarray(embeddings, dtype=np.float64))

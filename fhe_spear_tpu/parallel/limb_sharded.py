@@ -81,6 +81,12 @@ class LimbShardedRotator:
             ksk.a[:l][:, np.asarray(rows)]          # [l, l, N] ax1 sharded
         kb_sp, ka_sp = ksk.b[:l][:, np.asarray(sp_rows)], \
             ksk.a[:l][:, np.asarray(sp_rows)]       # [l, K, N] replicated
+        if K > 1:
+            phinv = ctx.phat_inv_mont               # [K, 1] replicated
+            phmod_loc = ctx.phat_mod_mont[:, np.asarray(rows)]  # [K,l,1] ax1 sharded
+        else:
+            phinv = jnp.zeros((1, 1), jnp.uint32)   # unused placeholders
+            phmod_loc = jnp.zeros((1, l, 1), jnp.uint32)
 
         def extend(coeffs_all, p_t, mu_t, qmod, qh):
             """[l, N] plain digits -> [l, T, N] centered re-reductions."""
@@ -91,7 +97,7 @@ class LimbShardedRotator:
             return jnp.where(c >= qh, r_neg, r)
 
         def body(c, tbl, tbs, mu_l, mu_s, r2l, qm_ll, qm_ls, qm_sl, pim,
-                 kbl, kal, kbs, kas):
+                 kbl, kal, kbs, kas, phinv_a, phmod_a):
             p_l, pinv_l = tbl["p"], tbl["pinv"]
             p_s, pinv_s = tbs["p"], tbs["pinv"]
             cp = jnp.take(c, perm, axis=-1)
@@ -124,7 +130,15 @@ class LimbShardedRotator:
                 # single-chip _mod_down bit for bit
                 u = barrett_reduce(t[:, 0][:, None, :], p_l, mu_l)
             else:
-                raise NotImplementedError("K>1 limb-sharded mod-down")
+                # CRT recombination sum_k [t_k * Phat_k^-1]_{p_k} * Phat_k
+                # re-reduced into each LOCAL limb domain — same op order as
+                # the single-chip _mod_down K>1 branch, so bitwise equal
+                y = mont_mul(t, phinv_a, p_s, pinv_s)          # [2, K, N]
+                r = barrett_reduce(y[:, :, None, :], p_l[None], mu_l[None])
+                r = mont_mul(r, phmod_a, p_l, pinv_l)          # [2,K,lloc,N]
+                u = r[:, 0]
+                for k in range(1, K):
+                    u = add_mod(u, r[:, k], p_l)
             u = mont_mul(NttContext.ntt_t(u, tbl), r2l, p_l, pinv_l)
             out = mont_mul(sub_mod(ks_l, u, p_l), pim, p_l, pinv_l)
             c0 = add_mod(jnp.take(c[0], perm, axis=-1), out[0], p_l)
@@ -141,12 +155,14 @@ class LimbShardedRotator:
                                                 x, jnp.ndarray))
         in_specs = (P(None, ax, None), tb_spec_loc, tb_spec_sp,
                     row, P(), row, P(None, ax, None), P(), P(None, ax, None),
-                    row, P(None, ax, None), P(None, ax, None), P(), P())
+                    row, P(None, ax, None), P(None, ax, None), P(), P(),
+                    P(), P(None, ax, None))
         f = shard_map(body, mesh=self.mesh, in_specs=in_specs,
                       out_specs=P(None, ax, None), check_vma=False)
         jf = jax.jit(f)
         args = (tb_loc, tb_sp, mu_loc, mu_sp, r2_loc, qmod_loc, qmod_sp,
-                qmod_sp_to_loc, pinv_mont, kb_loc, ka_loc, kb_sp, ka_sp)
+                qmod_sp_to_loc, pinv_mont, kb_loc, ka_loc, kb_sp, ka_sp,
+                phinv, phmod_loc)
         return lambda c: jf(c, *args)
 
     def rotate(self, ct: Ciphertext, steps: int) -> Ciphertext:

@@ -74,3 +74,29 @@ def test_security_sweep_separation_grows(ctx):
     corpus.build(docs, classes)
     rows = security_sweep(corpus, docs, classes, scales=(1, 100))
     assert rows[1]["separation"] > rows[0]["separation"] * 10
+
+
+def test_leak_study_reproduces_reference_findings():
+    """The C14 quantitative study (per_passage_noise.py:145-209): shared
+    class noise leaks within-class score differences EXACTLY (corr 1.0,
+    reference measured 1.0); per-passage noise destroys them (|corr| < 0.1
+    vs reference -0.07) with a large noise/signal ratio (reference 1208x)."""
+    from fhe_spear_tpu.apps.noise_study import run_leak_study
+
+    res = run_leak_study(n_docs=32, dim=17, n_queries=16, alpha=100.0)
+    assert res["class_diff_corr"] > 0.999999, res
+    assert res["class_max_abs_err"] < 1e-9, res
+    assert abs(res["passage_diff_corr"]) < 0.1, res
+    assert res["noise_to_signal"] > 100, res
+
+
+def test_leak_study_fhe_restore(ctx):
+    """Per-passage corrections restore authorized R@1 exactly under real
+    encryption; the unauthorized view does not retrieve the true top-1
+    (per_passage_noise.py:211-289)."""
+    from fhe_spear_tpu.apps.noise_study import run_fhe_restore
+
+    res = run_fhe_restore(ctx, n_docs=16, dim=16)
+    assert res["auth_top1"] == res["true_top1"], res
+    assert res["auth_score_corr"] > 0.999, res
+    assert res["unauth_score_corr"] < 0.5, res

@@ -84,6 +84,27 @@ def test_s2c_factorized_inverts(ctx, btf):
     np.testing.assert_allclose(ctx.decrypt_vec(back), m, atol=1e-2)
 
 
+def test_full_bootstrap_wide():
+    """width=2 (composite-scale) EvalMod + wide C2S: the production-ring
+    configuration.  Refresh error drops ~3 orders of magnitude vs
+    width=1 (the 28-bit noise floor x gamma x sqrt(S) amplification —
+    tools/diag_bootstrap.py)."""
+    ctx = CkksContext(
+        CkksParams(n=128, num_limbs=34, num_special=4,
+                   secret_hamming_weight=16, dnum=12), seed=82)
+    bt = Bootstrapper(ctx, exp_degree=23, radix=3, evalmod_width=2)
+    rng = np.random.default_rng(9)
+    m = rng.uniform(-0.8, 0.8, ctx.slots)
+    ct = ctx.mod_switch_to(ctx.encrypt(m), 2)
+    out = bt.bootstrap(ct)
+    assert out.level >= 3, out.level
+    got = ctx.decrypt_vec(out)
+    err = np.abs(got - m).max()
+    assert err < 5e-4, err
+    corr = np.corrcoef(got, m)[0, 1]
+    assert corr > 0.9999999, corr
+
+
 def test_full_bootstrap_factorized(ctx, btf):
     m = rand_msg(ctx, 14)
     ct = ctx.mod_switch_to(ctx.encrypt(m), 2)

@@ -50,12 +50,16 @@ def test_sharded_matches_single_chip(ctx):
                                atol=1e-4)
 
 
-def test_limb_sharded_rotate_bitwise_exact():
+@pytest.mark.parametrize("num_special", [1, 3])
+def test_limb_sharded_rotate_bitwise_exact(num_special):
     """Limb-sharded keyswitch must produce the exact same ciphertext as the
-    single-chip path (deterministic arithmetic, no approximation)."""
+    single-chip path (deterministic arithmetic, no approximation) — for
+    both the K=1 fast base conversion and the K>1 CRT mod-down."""
     from fhe_spear_tpu.parallel.limb_sharded import LimbShardedRotator
 
-    ctx = CkksContext(CkksParams(n=256, num_limbs=8, num_special=1), seed=43)
+    ctx = CkksContext(CkksParams(n=256, num_limbs=8,
+                                 num_special=num_special),
+                      seed=43 + num_special)
     mesh = Mesh(np.array(jax.devices()[:4]), ("limb",))
     ctx.ensure_galois([3])
     rot = LimbShardedRotator(ctx, mesh, level=8)
