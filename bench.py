@@ -98,6 +98,14 @@ def main():
             else f"{num_blocks}-block, x24/{num_blocks} extrapolated")
     if mode == "device":
         kind += ", device-client"
+    fused = os.environ.get("BENCH_FUSED", "1") == "1" and mode != "device"
+    # classic-transport wire volume: Ciphertext [2, l, N] uint32 per hop;
+    # per block the protocol moves 7 up + 8 down = 15 ciphertexts
+    # (rt1: 3/3, rt2: 1/1, rt3: 1/P, rt4: P/P with P=2 at F=8192)
+    ct_bytes = 2 * 3 * n * 4
+    wire = {"ciphertext_bytes": ct_bytes,
+            "cts_per_block_up_down": [7, 8],
+            "bytes_per_token_24_blocks": 15 * ct_bytes * 24}
     print(json.dumps({
         "metric": f"sec/token client-aided RWKV-7 D={d} F={f} N={n} "
                   f"({kind})",
@@ -109,6 +117,9 @@ def main():
             "blocks_measured": num_blocks,
             "tokens_match_plaintext": all_match,
             "min_logit_corr": round(min_corr, 6),
+            "transport": ("device-client" if mode == "device"
+                          else "fused" if fused else "explicit-ciphertext"),
+            "wire": wire if not fused and mode != "device" else None,
         },
     }))
 

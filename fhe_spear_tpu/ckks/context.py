@@ -568,8 +568,18 @@ class CkksContext:
     # arithmetic (thin wrappers around cached jitted kernels)
     # ------------------------------------------------------------------
 
+    @functools.lru_cache(maxsize=None)
     def _p(self, l):
-        return self.ntt.p[:l], self.ntt.pinv[:l]
+        # HOST numpy tables: an eager device-array slice is a dynamic_slice
+        # dispatch the axon TPU tunnel cannot run (and _p is called eagerly
+        # at kernel-build time); device arrays must not be cached either —
+        # inside a shard_map trace they'd be trace-local tracers.  numpy
+        # constants are valid in any trace and lifted at bind time.
+        p = np.array([q.p for q in self.primes[:l]],
+                     dtype=np.uint32)[:, None]
+        pinv = np.array([q.mont_pinv for q in self.primes[:l]],
+                        dtype=np.uint32)[:, None]
+        return p, pinv
 
     def add(self, x: Ciphertext, y: Ciphertext) -> Ciphertext:
         assert x.level == y.level and _close(x.scale, y.scale), (x.scale, y.scale)
@@ -846,10 +856,18 @@ class CkksContext:
         return ntt.ntt(D, tgt)
 
     def select_key(self, ksk: KeySwitchKey, l: int):
-        """Slice a keyswitch key down to the digits/rows active at level l."""
-        tgt = np.asarray(self.targets(l), dtype=np.int32)
-        d_l = self.num_digits(l)
-        return ksk.b[:d_l][:, tgt], ksk.a[:d_l][:, tgt]
+        """Slice a keyswitch key down to the digits/rows active at level l.
+
+        The selection runs through a cached jitted gather: an eager gather
+        dispatch is unimplemented over the axon TPU tunnel (and _xs key
+        stacking calls this eagerly at kernel-build time)."""
+        return self._j_select_key(self.num_digits(l), self.targets(l))(
+            ksk.b, ksk.a)
+
+    @functools.lru_cache(maxsize=None)
+    def _j_select_key(self, d_l: int, tgt: tuple):
+        idx = np.asarray(tgt, dtype=np.int32)
+        return jax.jit(lambda b, a: (b[:d_l][:, idx], a[:d_l][:, idx]))
 
     def _apply_ksk(self, D: jnp.ndarray, b: jnp.ndarray, a: jnp.ndarray,
                    l: int) -> jnp.ndarray:

@@ -351,7 +351,10 @@ class DeviceTokenRunner:
             return (x, v_first, bi + 1), (x_ln, x_ffn_ln, new_state)
           return body
 
-        def token_fn(x0, xpa, xpf, states, keys, pts, cw_stack, *xs):
+        def token_fn(x0, xpa, xpf, states, seed, pts, cw_stack, *xs):
+            # key derivation INSIDE the jit: eager PRNGKey/convert ops are
+            # unimplemented over the axon TPU tunnel
+            keys = jax.random.split(jax.random.PRNGKey(seed), (nb, 4))
             carry = (x0, jnp.zeros_like(x0), jnp.int32(0))
             (x, _, _), (xpa_n, xpf_n, st_n) = lax.scan(
                 body_with(xs), carry,
@@ -368,17 +371,17 @@ class DeviceTokenRunner:
             self._token_fn = self._build_token_fn()
         x = layer_norm(np.asarray(m.emb[token_id], dtype=np.float64),
                        m.ln0_w, m.ln0_b).astype(np.float32)
-        nb = len(m.blocks)
         self._seed += 1
-        base = jax.random.PRNGKey(self._seed)
-        keys = jax.random.split(base, (nb, 4))
+        seed = np.uint32(self._seed & 0xFFFFFFFF)
         pts = (self.pt["rkv"], self.pt["o"], self.pt["fk"], self.pt["fv"])
         cw_stack = tuple(self.cw[nm] for nm in self.cw)
-        xpa = jnp.asarray(np.stack(state.x_prev_att).astype(np.float32))
-        xpf = jnp.asarray(np.stack(state.x_prev_ffn).astype(np.float32))
-        st = jnp.asarray(np.stack(state.wkv).astype(np.float32))
+        # plain numpy args — jit handles the transfer; eager jnp.asarray
+        # conversions are unimplemented over the axon tunnel
+        xpa = np.stack(state.x_prev_att).astype(np.float32)
+        xpf = np.stack(state.x_prev_ffn).astype(np.float32)
+        st = np.stack(state.wkv).astype(np.float32)
         x_out, xpa_n, xpf_n, st_n = self._token_fn(
-            jnp.asarray(x), xpa, xpf, st, keys, pts, cw_stack,
+            x, xpa, xpf, st, seed, pts, cw_stack,
             *self.eng._xs(self.level))
         x_out = np.asarray(x_out, dtype=np.float64)
         new = RwkvState(x_prev_att=list(np.asarray(xpa_n, dtype=np.float64)),

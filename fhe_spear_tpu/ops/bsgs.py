@@ -147,12 +147,17 @@ class BsgsMatvec:
             ctx = self.ctx
             n = ctx.n
 
+            # stacking runs jitted: eager concatenate dispatches are
+            # unimplemented over the axon TPU tunnel
+            stk = jax.jit(lambda bs, as_: (jnp.stack(bs), jnp.stack(as_)))
+
             def stack_keys(steps):
                 perms = np.stack([automorphism_perm(n, ctx.galois_element(s))
                                   for s in steps]).astype(np.int32)
                 kb, ka = zip(*(ctx.select_key(
                     ctx.galois_keys[ctx.galois_element(s)], l) for s in steps))
-                return (jnp.asarray(perms), jnp.stack(kb), jnp.stack(ka))
+                kbs, kas = stk(list(kb), list(ka))
+                return (jnp.asarray(perms), kbs, kas)
 
             self._xs_cache[l] = (stack_keys(self.baby_steps)
                                  + stack_keys(self.giant_steps))

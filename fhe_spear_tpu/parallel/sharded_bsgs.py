@@ -84,7 +84,11 @@ class ShardedBsgsMatvec:
             keys = [(ctx.identity_key if g == 1 else ctx.galois_keys[g])
                     for g in gs]
             kb, ka = zip(*(ctx.select_key(k, l) for k in keys))
-            return (jnp.asarray(perms), jnp.stack(kb), jnp.stack(ka))
+            # jitted stack: eager concatenate is unimplemented on the tunnel
+            kbs, kas = jax.jit(
+                lambda bs, as_: (jnp.stack(bs), jnp.stack(as_)))(
+                    list(kb), list(ka))
+            return (jnp.asarray(perms), kbs, kas)
 
         baby_xs = (stack_keys(range(1, self.G)) if self.G > 1
                    else (jnp.zeros((0, n), jnp.int32),) * 3)

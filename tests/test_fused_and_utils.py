@@ -161,3 +161,38 @@ def test_recall_benchmark():
     # is far below embedding-similarity gaps at scale 2^28)
     assert out["plaintext_top1_agreement"] == 1.0
     assert out["recall@10"] >= out["recall@1"]
+
+
+def test_naive_multilayer_chains():
+    """C5 ablation suite: multilayer chained, residual, autoregressive —
+    fully-encrypted scalar-ciphertext chains vs the plaintext oracle
+    (fhe_rwkv_inference.py:169-480)."""
+    from fhe_spear_tpu.models.naive_inference import (
+        naive_multilayer, naive_autoregressive)
+
+    ctx9 = CkksContext(CkksParams(n=256, num_limbs=8, num_special=1),
+                       seed=77)
+    rng = np.random.default_rng(2)
+    d, f, vocab = 8, 16, 12
+    blocks = [(rng.normal(0, 0.25, (d, f)), rng.normal(0, 0.2, (f, d)))
+              for _ in range(2)]
+    w_head = rng.normal(0, 0.3, (d, vocab))
+    x = rng.normal(0, 0.5, d)
+
+    for residual in (False, True):
+        h = x.copy()
+        for wk, wv in blocks:
+            pre = (h @ wk) ** 2 @ wv
+            h = pre + h if residual else pre
+        want = h @ w_head
+        tok, logits, lvl = naive_multilayer(ctx9, x, blocks, w_head,
+                                            residual=residual)
+        assert tok == int(np.argmax(want)), (residual, logits, want)
+        corr = np.corrcoef(logits, want)[0, 1]
+        assert corr > 0.999, (residual, corr)
+        assert lvl == ctx9.L - 7
+
+    emb = rng.normal(0, 0.5, (vocab, d))
+    toks_f, toks_p = naive_autoregressive(ctx9, emb, blocks, w_head,
+                                          start_token=3, num_tokens=2)
+    assert toks_f == toks_p, (toks_f, toks_p)

@@ -71,3 +71,25 @@ def test_limb_sharded_rotate_bitwise_exact(num_special):
     np.testing.assert_array_equal(np.asarray(got.c), np.asarray(want.c))
     np.testing.assert_allclose(ctx.decrypt_vec(got), np.roll(v, -3),
                                atol=1e-4)
+
+
+def test_sharded_production_token(ctx):
+    """The PRODUCTION client-aided protocol with every server projection
+    sharded over the mesh: one full FHE token, token-exact vs the
+    plaintext oracle (SURVEY.md §2 parallelism mandate)."""
+    from fhe_spear_tpu.models.rwkv7 import (make_random_model,
+                                            generate_token_plaintext)
+    from fhe_spear_tpu.models.client_aided import FheRwkvClient
+    from fhe_spear_tpu.parallel.sharded_server import ShardedFheRwkvServer
+
+    model = make_random_model(d=64, f=256, n_blocks=2, head_size=16,
+                              vocab=64, seed=3)
+    mesh = Mesh(np.array(jax.devices()), ("giant",))
+    server = ShardedFheRwkvServer(ctx, model, mesh, level=ctx.L)
+    client = FheRwkvClient(ctx, model, server, fused=False)
+    state = model.zero_state()
+    logits_ref, _ = generate_token_plaintext(model, 5, state)
+    logits_fhe, _, _ = client.generate_token(5, state)
+    assert int(np.argmax(logits_ref)) == int(np.argmax(logits_fhe))
+    corr = float(np.corrcoef(logits_fhe, logits_ref)[0, 1])
+    assert corr > 0.999, corr
