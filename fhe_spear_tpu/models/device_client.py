@@ -157,8 +157,10 @@ class DeviceTokenRunner:
         ctx = self.ctx
         enc = ctx.encoder
         n = ctx.n
-        self._t_slot = jnp.asarray(enc._t_slot)
-        self._t_conj = jnp.asarray(enc._t_conj)
+        # pre-cast to 32-bit in numpy: a dtype-demoting transfer is an
+        # eager convert_element_type, unimplemented over the axon tunnel
+        self._t_slot = jnp.asarray(np.asarray(enc._t_slot, dtype=np.int32))
+        self._t_conj = jnp.asarray(np.asarray(enc._t_conj, dtype=np.int32))
         self._zeta = jnp.asarray(enc._zeta_pow.astype(np.complex64))
         self._zeta_inv = jnp.asarray(enc._zeta_pow_inv.astype(np.complex64))
         l = self.level

@@ -56,6 +56,13 @@ def _pow_mod(base: int, e: np.ndarray, p: int) -> np.ndarray:
     return out.astype(np.uint64)
 
 
+def _limbs7(w: np.ndarray) -> np.ndarray:
+    """uint32 [L, M, K] -> 7-bit limbs [L, 5, M, K] int8 (values 0..127)."""
+    out = np.stack([(w >> np.uint32(7 * b)) & np.uint32(0x7F)
+                    for b in range(5)], axis=1)
+    return out.astype(np.int8)
+
+
 class FourStepNtt:
     """Matmul-form negacyclic NTT for a fixed (NttContext, N1, N2).
 
@@ -92,6 +99,38 @@ class FourStepNtt:
         self.tw = jnp.asarray(tw)      # [L, N1, N2] Mont
         # bin b of the Stockham output = four-step bin bitrev(b)
         self.to_stockham = jnp.asarray(bitrev_indices(n))
+        # -- MXU path tables ------------------------------------------------
+        # DFT matrices as 7-bit limbs (int8; values 0..127 so the int8 MXU
+        # contraction is exact), and the recombination constants
+        # 2^(7s) mod p (PLAIN domain: one mont_mul per shift group folds
+        # the R^-1 of the Montgomery product back in)
+        self.w1_8 = jnp.asarray(_limbs7(w1))     # [L, 5, N1, N1] int8
+        self.w2_8 = jnp.asarray(_limbs7(w2))     # [L, 5, N2, N2] int8
+        csh = np.zeros((L, 9), dtype=np.uint32)
+        for li, pr in enumerate(ntt.primes):
+            for s in range(9):
+                csh[li, s] = (1 << (7 * s)) % pr.p
+        self.csh = jnp.asarray(csh)              # [L, 9]
+        # inverse direction: x[j1,j2] = psi^-j/n * sum_{k1,k2}
+        #   X[k2,k1] w^-(j2 k2 N1) w^-(j2 k1) w^-(j1 k1 N2)
+        w1i = np.zeros((L, n1, n1), dtype=np.uint32)
+        w2i = np.zeros((L, n2, n2), dtype=np.uint32)
+        twi = np.zeros((L, n2, n1), dtype=np.uint32)
+        for li, pr in enumerate(ntt.primes):
+            p_ = pr.p
+            oinv = pow(pr.root * pr.root % p_, -1, p_)
+            j1k1 = np.outer(np.arange(n1), np.arange(n1)) * n2 % n
+            w1i[li] = (_pow_mod(oinv, j1k1, p_) * pr.mont_r % p_).astype(
+                np.uint32)
+            j2k2 = np.outer(np.arange(n2), np.arange(n2)) * n1 % n
+            w2i[li] = (_pow_mod(oinv, j2k2, p_) * pr.mont_r % p_).astype(
+                np.uint32)
+            j2k1 = np.outer(np.arange(n2), np.arange(n1)) % n
+            twi[li] = (_pow_mod(oinv, j2k1, p_) * pr.mont_r % p_).astype(
+                np.uint32)
+        self.w1i_8 = jnp.asarray(_limbs7(w1i))   # [L, 5, N1, N1] int8
+        self.w2i_8 = jnp.asarray(_limbs7(w2i))   # [L, 5, N2, N2] int8
+        self.twi = jnp.asarray(twi)              # [L, N2, N1] Mont
 
     # -- modular matmul: sum_k A[i,k] * X[..., k, j] -----------------------
 
@@ -123,6 +162,90 @@ class FourStepNtt:
         if rows is None:
             return t
         return t[jnp.asarray(np.asarray(rows, dtype=np.int32))]
+
+    # -- MXU modular matmul: int8 limb contraction, exact ------------------
+    #
+    # A and X are uint32 Montgomery residues split into 5 x 7-bit limbs.
+    # The full 62-bit integer product sum_k A[m,k]*X[k,j] is assembled from
+    # one int8 systolic matmul [R, 5M, K] x [R, K, 5J] -> [R, 5M, 5J] int32
+    # (every partial sum < 2^14 * K <= 2^21, exactly representable), the
+    # anti-diagonal limb groups T_s (< 2^24) are recombined as
+    # sum_s mont_mul(T_s, 2^(7s) mod p) = (A.X) * R^-1 mod p — bitwise
+    # identical to the mont_mul tree of _matmul_mod.  This is the DESIGN §9
+    # kernel: the contraction runs on the MXU instead of ~K VPU mont_muls.
+
+    def _matmul_mod_mxu(self, a8, x, p, pinv, csh):
+        """a8: [R, 5, M, K] int8, x: [R, K, J] uint32 -> [R, M, J] uint32."""
+        r, _, m, k = a8.shape
+        j = x.shape[-1]
+        xb = jnp.stack([((x >> jnp.uint32(7 * b)) & jnp.uint32(0x7F)
+                         ).astype(jnp.int8) for b in range(5)],
+                       axis=1)                          # [R, 5, K, J]
+        A = a8.reshape(r, 5 * m, k)
+        X = xb.transpose(0, 2, 1, 3).reshape(r, k, 5 * j)
+        S = lax.dot_general(A, X, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.int32)
+        S = S.reshape(r, 5, m, 5, j).astype(jnp.uint32)
+        p3, pinv3 = p[..., None], pinv[..., None]       # [R, 1, 1]
+        out = None
+        for s in range(9):
+            lo_a = max(0, s - 4)
+            T = S[:, lo_a, :, s - lo_a, :]
+            for a in range(lo_a + 1, min(s, 4) + 1):
+                T = T + S[:, a, :, s - a, :]            # < 2^24, no overflow
+            term = mont_mul(T, csh[:, s, None, None], p3, pinv3)
+            out = term if out is None else add_mod(out, term, p3)
+        return out
+
+    def ntt_mxu(self, x: jnp.ndarray, rows=None) -> jnp.ndarray:
+        """[R, N] Mont -> [R, N] Mont, four-step order, MXU contraction.
+
+        Bitwise-equal to self.ntt (tests/test_ntt_fourstep.py)."""
+        ntt = self.base
+        n1, n2 = self.n1, self.n2
+        p = jnp.asarray(self._sel_np(rows, "p"))
+        pinv = jnp.asarray(self._sel_np(rows, "pinv"))
+        psi = self._sel(ntt.psi, rows)
+        x = mont_mul(x, psi, p, pinv)                   # twist (VPU)
+        lead = x.shape[:-1]
+        x = x.reshape(lead + (n1, n2))
+        csh = self._sel(self.csh, rows)
+        a = self._matmul_mod_mxu(self._sel(self.w1_8, rows), x,
+                                 p, pinv, csh)
+        a = mont_mul(a, self._sel(self.tw, rows),
+                     p[..., None], pinv[..., None])     # twiddle (VPU)
+        at = jnp.swapaxes(a, -1, -2)
+        b = self._matmul_mod_mxu(self._sel(self.w2_8, rows), at,
+                                 p, pinv, csh)
+        return b.reshape(lead + (ntt.n,))
+
+    def intt_mxu(self, x: jnp.ndarray, rows=None) -> jnp.ndarray:
+        """Inverse of ntt_mxu/ntt (four-step bin order in, coefficients
+        out), MXU contraction.  intt_mxu(ntt_mxu(x)) == x bitwise."""
+        ntt = self.base
+        n1, n2 = self.n1, self.n2
+        p = jnp.asarray(self._sel_np(rows, "p"))
+        pinv = jnp.asarray(self._sel_np(rows, "pinv"))
+        csh = self._sel(self.csh, rows)
+        lead = x.shape[:-1]
+        x = x.reshape(lead + (n2, n1))                  # [R, k2, k1]
+        a = self._matmul_mod_mxu(self._sel(self.w2i_8, rows), x,
+                                 p, pinv, csh)          # [R, j2, k1]
+        a = mont_mul(a, self._sel(self.twi, rows),
+                     p[..., None], pinv[..., None])
+        at = jnp.swapaxes(a, -1, -2)                    # [R, k1, j2]
+        b = self._matmul_mod_mxu(self._sel(self.w1i_8, rows), at,
+                                 p, pinv, csh)          # [R, j1, j2]
+        b = b.reshape(lead + (ntt.n,))
+        return mont_mul(b, self._sel(ntt.psi_inv_n, rows), p, pinv)
+
+    def _sel_np(self, rows, which):
+        pr = self.base.primes
+        idx = range(len(pr)) if rows is None else rows
+        if which == "p":
+            return np.array([pr[i].p for i in idx], dtype=np.uint32)[:, None]
+        return np.array([pr[i].mont_pinv for i in idx],
+                        dtype=np.uint32)[:, None]
 
     def ntt(self, x: jnp.ndarray, rows=None) -> jnp.ndarray:
         """[..., R, N] Mont -> [..., R, N] Mont, four-step order."""

@@ -50,3 +50,25 @@ def test_fourstep_sharded_one_all_to_all(ctx):
     from fhe_spear_tpu.core.ntt import bitrev_indices
 
     np.testing.assert_array_equal(got[..., bitrev_indices(ctx.n)], want)
+
+
+@pytest.mark.parametrize("n1,n2", [(16, 16), (8, 32)])
+def test_fourstep_mxu_bitwise(ctx, n1, n2):
+    """int8-limb MXU contraction bitwise-equal to the mont_mul-tree path
+    (and hence to the Stockham NTT after bitrev)."""
+    fs = FourStepNtt(ctx.ntt, n1, n2)
+    rows = (0, 1, 2)
+    x = rand_mont(ctx, rows, seed=100 + n1)
+    want = np.asarray(fs.ntt(x, rows))
+    got = np.asarray(jax.jit(lambda v: fs.ntt_mxu(v, rows))(x))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fourstep_mxu_roundtrip(ctx):
+    """intt_mxu inverts ntt_mxu bitwise (Montgomery-exact roundtrip)."""
+    fs = FourStepNtt(ctx.ntt, 16, 16)
+    rows = (0, 1, 2)
+    x = rand_mont(ctx, rows, seed=7)
+    fwd = jax.jit(lambda v: fs.ntt_mxu(v, rows))
+    inv = jax.jit(lambda v: fs.intt_mxu(v, rows))
+    np.testing.assert_array_equal(np.asarray(inv(fwd(x))), np.asarray(x))

@@ -1,0 +1,81 @@
+"""NTT kernel shoot-out on the real TPU: Stockham (VPU butterfly chain)
+vs four-step MXU (int8-limb systolic contraction, DESIGN §9/§12).
+
+Measures forward transforms of a [R, N] residue batch (R = limbs of a
+production keyswitch digit extension) and verifies the MXU path bitwise
+against the Stockham chain.  Prints one JSON line.
+
+Env: NTT_N (8192), NTT_ROWS (41), NTT_REPS (20), NTT_N1 (128).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    n = int(os.environ.get("NTT_N", "8192"))
+    rows_n = int(os.environ.get("NTT_ROWS", "41"))
+    reps = int(os.environ.get("NTT_REPS", "20"))
+    n1 = int(os.environ.get("NTT_N1", "128"))
+
+    import jax
+    import jax.numpy as jnp
+
+    log(f"devices: {jax.devices()}")
+
+    from fhe_spear_tpu.core.primes import find_ntt_primes
+    from fhe_spear_tpu.core.ntt import NttContext, bitrev_indices
+    from fhe_spear_tpu.parallel.ntt_fourstep import FourStepNtt
+
+    primes = find_ntt_primes(n, rows_n)
+    ntt = NttContext.build(n, primes)
+    fs = FourStepNtt(ntt, n1, n // n1)
+    rows = tuple(range(rows_n))
+
+    rng = np.random.default_rng(0)
+    q = np.array([p.p for p in primes], dtype=np.uint64)
+    x = jnp.asarray(rng.integers(0, q[:, None], (rows_n, n)
+                                 ).astype(np.uint32))
+
+    j_stock = jax.jit(lambda v: ntt.ntt(v, rows))
+    j_mxu = jax.jit(lambda v: fs.ntt_mxu(v, rows))
+
+    # correctness: bitwise after the bitrev bin permutation
+    want = np.asarray(j_stock(x))
+    got = np.asarray(j_mxu(x))[..., bitrev_indices(n)]
+    assert np.array_equal(got, want), "MXU four-step mismatch"
+    log("bitwise-equal on TPU")
+
+    def bench(f):
+        jax.block_until_ready(f(x))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            y = f(x)
+        jax.block_until_ready(y)
+        return (time.perf_counter() - t0) / reps
+
+    t_stock = bench(j_stock)
+    t_mxu = bench(j_mxu)
+    log(f"stockham {t_stock*1e3:.3f} ms  mxu {t_mxu*1e3:.3f} ms")
+
+    print(json.dumps({
+        "metric": f"NTT [R={rows_n}, N={n}] forward transform (TPU)",
+        "value": round(t_mxu * 1e3, 4),
+        "unit": "ms (four-step MXU)",
+        "vs_baseline": round(t_stock / t_mxu, 3),
+        "detail": {"stockham_ms": round(t_stock * 1e3, 4),
+                   "mxu_ms": round(t_mxu * 1e3, 4),
+                   "n1": n1, "bitwise_equal": True},
+    }))
+
+
+if __name__ == "__main__":
+    main()
