@@ -93,6 +93,12 @@ class CkksParams:
     # digit per limb (exact centered extension, minimal-noise mode for
     # shallow chains where keys are small anyway).
     dnum: int | None = None
+    # NTT transform backend: "stockham" (VPU butterfly chain) or "mxu"
+    # (four-step int8-limb systolic matmuls, natural bin order — see
+    # parallel/ntt_fourstep.FourStepBackend).  Contexts on different
+    # backends are functionally equivalent but their eval-domain bin
+    # orders differ; limb-sharded keyswitch requires "stockham".
+    ntt_backend: str = "stockham"
 
     @property
     def scale(self) -> float:
@@ -173,6 +179,9 @@ class CkksContext:
             params.num_special,
         )
         self.ntt = NttContext.build(params.n, self.primes)
+        if params.ntt_backend == "mxu":
+            from ..parallel.ntt_fourstep import FourStepBackend
+            self.ntt = FourStepBackend(self.ntt)
         self.encoder = SlotEncoder(params.n)
         # legacy RandomState: the PCG64 Generator is pathologically slow
         # in some numpy builds (50x); MT19937 bulk sampling is not.
@@ -407,7 +416,7 @@ class CkksContext:
             return
         LK = self.L + self.K
         all_rows = tuple(range(LK))
-        perms = np.stack([automorphism_perm(self.n, g) for g in gs])
+        perms = np.stack([self.ntt.autoperm(g) for g in gs])
         m = len(gs)
         a = jnp.asarray(self._uniform((m, self.dnum), all_rows))
         e = jnp.asarray(self._reduce_rows(self._gauss((m, self.dnum)),
@@ -930,7 +939,7 @@ class CkksContext:
 
     @functools.lru_cache(maxsize=None)
     def _j_rotate(self, l, g):
-        perm = jnp.asarray(automorphism_perm(self.n, g))
+        perm = jnp.asarray(self.ntt.autoperm(g))
         ksk = self.galois_keys[g]
         p, _ = self._p(l)
 
@@ -954,7 +963,7 @@ class CkksContext:
     @functools.lru_cache(maxsize=None)
     def _j_hoisted(self, l, steps):
         gs = [self.galois_element(s) for s in steps]
-        perms = {g: jnp.asarray(automorphism_perm(self.n, g)) for g in gs}
+        perms = {g: jnp.asarray(self.ntt.autoperm(g)) for g in gs}
         p, _ = self._p(l)
 
         def f(c):

@@ -75,6 +75,13 @@ def automorphism_perm(n: int, g: int) -> np.ndarray:
     return rev[(target - 1) // 2]
 
 
+def automorphism_perm_natural(n: int, g: int) -> np.ndarray:
+    """automorphism_perm for NATURAL bin order (bin b holds m(psi^(2b+1)),
+    the four-step backend's order): source bin = ((2b+1)g mod 2n - 1)/2."""
+    t = (2 * np.arange(n, dtype=np.int64) + 1) * g % (2 * n)
+    return (t - 1) // 2
+
+
 def coeff_automorphism_np(a: np.ndarray, g: int) -> np.ndarray:
     """m(X) -> m(X^g) in coefficient form (host-side, used in keygen).
 
@@ -170,6 +177,13 @@ class NttContext:
 
     # -- table-passing forms (for shard_map bodies, where the limb subset
     #    is device-dependent and tables arrive as sharded arguments) ------
+
+    order = "stockham"
+
+    def autoperm(self, g: int) -> np.ndarray:
+        """Eval-domain automorphism permutation in THIS backend's bin
+        order (overridden by parallel.ntt_fourstep.FourStepBackend)."""
+        return automorphism_perm(self.n, g)
 
     def tables(self, rows=None) -> dict:
         """Bundle the per-limb tables (selectable, shardable pytree)."""

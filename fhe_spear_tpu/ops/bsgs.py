@@ -152,7 +152,7 @@ class BsgsMatvec:
             stk = jax.jit(lambda bs, as_: (jnp.stack(bs), jnp.stack(as_)))
 
             def stack_keys(steps):
-                perms = np.stack([automorphism_perm(n, ctx.galois_element(s))
+                perms = np.stack([ctx.ntt.autoperm(ctx.galois_element(s))
                                   for s in steps]).astype(np.int32)
                 kb, ka = zip(*(ctx.select_key(
                     ctx.galois_keys[ctx.galois_element(s)], l) for s in steps))

@@ -53,6 +53,8 @@ class LimbShardedRotator:
         self.l = level
         assert ctx.gsize == 1, \
             "limb-sharded keyswitch assumes single-limb digits (dnum unset)"
+        assert getattr(ctx.ntt, "order", "stockham") == "stockham", \
+            "limb-sharded keyswitch uses the Stockham table-passing forms"
         assert level % mesh.shape[axis] == 0, (level, mesh.shape[axis])
 
     @functools.lru_cache(maxsize=None)

@@ -40,7 +40,7 @@ from jax import shard_map
 from ..core.modops import mont_mul, add_mod
 from ..core.ntt import NttContext, bitrev_indices
 
-__all__ = ["FourStepNtt"]
+__all__ = ["FourStepNtt", "FourStepBackend"]
 
 
 def _pow_mod(base: int, e: np.ndarray, p: int) -> np.ndarray:
@@ -239,6 +239,57 @@ class FourStepNtt:
         b = b.reshape(lead + (ntt.n,))
         return mont_mul(b, self._sel(ntt.psi_inv_n, rows), p, pinv)
 
+    # -- batched variants: [R, B, N] with the batch riding the J axis ------
+
+    def ntt_mxu_b(self, x: jnp.ndarray, rows=None) -> jnp.ndarray:
+        """[R, B, N] Mont coefficients -> [R, B, N] four-step bins."""
+        ntt = self.base
+        n1, n2 = self.n1, self.n2
+        r, bsz, _ = x.shape
+        p = jnp.asarray(self._sel_np(rows, "p"))
+        pinv = jnp.asarray(self._sel_np(rows, "pinv"))
+        csh = self._sel(self.csh, rows)
+        p2, pinv2 = p[..., None], pinv[..., None]       # [R, 1, 1]
+        x = mont_mul(x, self._sel(ntt.psi, rows)[:, None], p2, pinv2)
+        x = x.reshape(r, bsz, n1, n2)
+        xt = jnp.swapaxes(x, 1, 2).reshape(r, n1, bsz * n2)
+        a = self._matmul_mod_mxu(self._sel(self.w1_8, rows), xt,
+                                 p, pinv, csh)          # [R, k1, B*j2]
+        a = a.reshape(r, n1, bsz, n2)
+        a = mont_mul(a, self._sel(self.tw, rows)[:, :, None, :],
+                     p2[..., None], pinv2[..., None])
+        at = jnp.transpose(a, (0, 3, 2, 1)).reshape(
+            r, n2, bsz * n1)                            # [R, j2, B*k1]
+        b = self._matmul_mod_mxu(self._sel(self.w2_8, rows), at,
+                                 p, pinv, csh)          # [R, k2, B*k1]
+        b = b.reshape(r, n2, bsz, n1)
+        return jnp.moveaxis(b, 2, 1).reshape(r, bsz, ntt.n)  # k = k2*N1+k1
+
+    def intt_mxu_b(self, x: jnp.ndarray, rows=None) -> jnp.ndarray:
+        """[R, B, N] four-step bins -> [R, B, N] Mont coefficients."""
+        ntt = self.base
+        n1, n2 = self.n1, self.n2
+        r, bsz, _ = x.shape
+        p = jnp.asarray(self._sel_np(rows, "p"))
+        pinv = jnp.asarray(self._sel_np(rows, "pinv"))
+        csh = self._sel(self.csh, rows)
+        p2, pinv2 = p[..., None], pinv[..., None]
+        x = x.reshape(r, bsz, n2, n1)                   # [R, B, k2, k1]
+        xt = jnp.swapaxes(x, 1, 2).reshape(r, n2, bsz * n1)
+        a = self._matmul_mod_mxu(self._sel(self.w2i_8, rows), xt,
+                                 p, pinv, csh)          # [R, j2, B*k1]
+        a = a.reshape(r, n2, bsz, n1)
+        a = mont_mul(a, self._sel(self.twi, rows)[:, :, None, :],
+                     p2[..., None], pinv2[..., None])
+        at = jnp.transpose(a, (0, 3, 2, 1)).reshape(
+            r, n1, bsz * n2)                            # [R, k1, B*j2]
+        b = self._matmul_mod_mxu(self._sel(self.w1i_8, rows), at,
+                                 p, pinv, csh)          # [R, j1, B*j2]
+        b = b.reshape(r, n1, bsz, n2)
+        b = jnp.moveaxis(b, 2, 1).reshape(r, bsz, ntt.n)
+        return mont_mul(b, self._sel(ntt.psi_inv_n, rows)[:, None],
+                        p2, pinv2)
+
     def _sel_np(self, rows, which):
         pr = self.base.primes
         idx = range(len(pr)) if rows is None else rows
@@ -321,3 +372,53 @@ class FourStepNtt:
         xm = x.reshape(lead + (self.n1, self.n2))
         b = self._sharded_fn(mesh, axis, rows_t)(xm)
         return b.reshape(lead + (self.base.n,))
+
+
+class FourStepBackend:
+    """NttContext-compatible transform backend in NATURAL bin order.
+
+    Drop-in for CkksContext (params.ntt_backend="mxu"): ntt/intt run the
+    four-step MXU contraction; every other attribute (p, pinv, r2,
+    to_mont, from_mont, tables, ...) delegates to the wrapped Stockham
+    NttContext.  Bin b holds m(psi^(2b+1)) — NATURAL exponent order (the
+    Stockham chain uses bitrev order), so automorphism permutations come
+    from autoperm() below and a context built on this backend is
+    self-consistent but NOT binary-compatible with a Stockham context
+    (coefficient-domain data — serialized keys, i32-staged diagonals — is
+    order-free and shared).
+    """
+
+    order = "natural"
+
+    def __init__(self, base: NttContext, n1: int | None = None):
+        n = base.n
+        if n1 is None:
+            n1 = 128 if n >= 16384 else max(16, min(64, n // 64))
+        self.base = base
+        self.fs = FourStepNtt(base, n1, n // n1)
+
+    def __getattr__(self, name):
+        return getattr(self.base, name)
+
+    def _flat(self, fn, x, rows):
+        lead = x.shape[:-2]
+        r, n = x.shape[-2:]
+        x2 = x.reshape((-1, r, n)) if lead else x[None]
+        y = fn(jnp.swapaxes(x2, 0, 1), rows)            # [R, B, N]
+        y = jnp.swapaxes(y, 0, 1)
+        return y.reshape(lead + (r, n)) if lead else y[0]
+
+    def ntt(self, x: jnp.ndarray, rows=None) -> jnp.ndarray:
+        rows = tuple(rows) if rows is not None else None
+        return self._flat(self.fs.ntt_mxu_b, x, rows)
+
+    def intt(self, x: jnp.ndarray, rows=None) -> jnp.ndarray:
+        rows = tuple(rows) if rows is not None else None
+        return self._flat(self.fs.intt_mxu_b, x, rows)
+
+    def autoperm(self, g: int) -> np.ndarray:
+        """NTT(m(X^g))[b] = NTT(m)[perm[b]] in natural bin order:
+        exponent of bin b is 2b+1; source bin = ((2b+1)g mod 2n - 1)/2."""
+        n = self.base.n
+        t = (2 * np.arange(n, dtype=np.int64) + 1) * g % (2 * n)
+        return ((t - 1) // 2).astype(np.int64)

@@ -79,7 +79,7 @@ class ShardedBsgsMatvec:
 
         def stack_keys(steps, with_identity=False):
             gs = [ctx.galois_element(s) for s in steps]
-            perms = np.stack([automorphism_perm(n, g) for g in gs]
+            perms = np.stack([ctx.ntt.autoperm(g) for g in gs]
                              ).astype(np.int32)
             keys = [(ctx.identity_key if g == 1 else ctx.galois_keys[g])
                     for g in gs]

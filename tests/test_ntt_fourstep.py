@@ -72,3 +72,35 @@ def test_fourstep_mxu_roundtrip(ctx):
     fwd = jax.jit(lambda v: fs.ntt_mxu(v, rows))
     inv = jax.jit(lambda v: fs.intt_mxu(v, rows))
     np.testing.assert_array_equal(np.asarray(inv(fwd(x))), np.asarray(x))
+
+
+def test_mxu_backend_context_ops():
+    """A full CkksContext on the MXU (natural-order) NTT backend:
+    encrypt/decrypt, multiply+relin+rescale, rotate, conjugate, and a BSGS
+    matvec all agree with plaintext math (functional equivalence with the
+    Stockham backend; bin orders differ by design)."""
+    from fhe_spear_tpu.ops.bsgs import BsgsMatvec
+
+    ctx = CkksContext(CkksParams(n=256, num_limbs=4, num_special=1,
+                                 ntt_backend="mxu"), seed=5)
+    rng = np.random.default_rng(3)
+    v = rng.normal(0, 0.5, ctx.slots)
+    w = rng.normal(0, 0.5, ctx.slots)
+    ct, cw = ctx.encrypt(v), ctx.encrypt(w)
+    np.testing.assert_allclose(ctx.decrypt_vec(ct), v, atol=1e-4)
+    m = ctx.rescale(ctx.multiply(ct, cw))
+    np.testing.assert_allclose(ctx.decrypt_vec(m), v * w, atol=1e-3)
+    ctx.ensure_galois([5], conj=True)
+    r = ctx.rotate(ct, 5)
+    np.testing.assert_allclose(ctx.decrypt_vec(r), np.roll(v, -5), atol=1e-4)
+    cj = ctx.conjugate(ctx.encrypt(v))
+    np.testing.assert_allclose(ctx.decrypt_vec(cj), v, atol=1e-4)
+
+    d = 16
+    eng = BsgsMatvec(ctx, d)
+    W = rng.normal(0, 0.4, (d, d))
+    x = rng.normal(0, 0.7, d)
+    pt = eng.load(eng.encode(W), ctx.L)
+    y = eng(ctx.encrypt_replicated(x), pt)
+    got = ctx.decrypt_vec(y, d)
+    np.testing.assert_allclose(got, W @ x, atol=5e-3)
