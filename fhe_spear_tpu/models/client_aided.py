@@ -167,11 +167,31 @@ class FheRwkvServer:
             # would thrash to a 100% miss rate (measured, NOTES_r1)
             self._device.pop(next(reversed(self._device)))
         host = self.blocks_host[i]
-        if self.stage_mode == "i32":
-            staged = {k: jnp.asarray(v) for k, v in host.items()}
-        else:
-            staged = {k: _load_coeffs(self.ctx, jnp.asarray(v), self.level)
-                      for k, v in host.items()}
+
+        def stage():
+            if self.stage_mode == "i32":
+                return {k: jnp.asarray(v) for k, v in host.items()}
+            return {k: _load_coeffs(self.ctx, jnp.asarray(v), self.level)
+                    for k, v in host.items()}
+
+        try:
+            staged = stage()
+        except jax.errors.JaxRuntimeError as e:   # HBM OOM backoff: drop the
+            if "RESOURCE_EXHAUSTED" not in str(e):  # cache and retry once
+                raise                             # (reference pre-encode
+            self._device.clear()                  # backoff, bootstrap_
+            import gc                             # generation.py:1164-1170)
+            gc.collect()
+            try:
+                staged = stage()
+            except jax.errors.JaxRuntimeError as e2:
+                if "RESOURCE_EXHAUSTED" not in str(e2):
+                    raise
+                raise RuntimeError(
+                    "block staging does not fit in HBM even with an empty "
+                    "cache — rerun with FHE_STAGE_MODE=i32 (int32 "
+                    "coefficients + in-kernel RNS expansion, 4x smaller)"
+                ) from e2
         self._device[i] = staged
         return staged
 
