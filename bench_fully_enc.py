@@ -50,7 +50,8 @@ def main():
     if use_boot:
         limbs = int(os.environ.get("BENCH_LIMBS", "26"))
         special = int(os.environ.get("BENCH_SPECIAL", "4"))
-        dnum = int(os.environ.get("BENCH_DNUM", "6"))
+        # groups of ceil(26/7)=4 limbs ~ 115 bits <= P = 4x31 bits
+        dnum = int(os.environ.get("BENCH_DNUM", "7"))
         params = CkksParams.bootstrap(n=n, num_limbs=limbs,
                                       num_special=special, hamming=64,
                                       dnum=dnum)
