@@ -1,0 +1,126 @@
+"""Pallas fused four-step NTT: twist + column DFT + twiddle + row DFT in
+one kernel, the whole [B, N] residue row resident in VMEM.
+
+The XLA MXU backend (parallel/ntt_fourstep.ntt_mxu_b) already runs the
+contractions on the systolic array but materializes each stage through
+HBM; this kernel is the fusion step — one HBM read + one write per
+(limb, batch-row) transform (docs/DESIGN.md §9/§14).
+
+dot_impl:
+  "f32":  limb matmuls as float32 dots with precision=HIGHEST (exact —
+          every partial sum < 2^21 < 2^24; safe on every backend).
+  "int8": s8 x s8 -> s32 systolic dots (fastest path where Mosaic
+          supports int8 matmul).
+
+Bitwise-equal to FourStepNtt.ntt_mxu_b / .ntt (tests/test_ntt_fourstep).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+from .modops import mont_mul, add_mod
+
+__all__ = ["ntt_fourstep_pallas"]
+
+
+def _limb_dot(a8, x_u32, dot_impl):
+    """a8: [5M, K] int8 limbs, x_u32: [K, J] uint32 -> S [5, M, 5, J] u32.
+
+    Splits x into 5 x 7-bit limbs on the fly, runs ONE [5M, K] x [K, 5J]
+    contraction, returns the int32 partial-sum grid as uint32."""
+    k, j = x_u32.shape
+    xb = [((x_u32 >> jnp.uint32(7 * b)) & jnp.uint32(0x7F)) for b in range(5)]
+    if dot_impl == "int8":
+        X = jnp.concatenate([v.astype(jnp.int8) for v in xb], axis=-1)
+        S = lax.dot_general(a8, X, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    else:
+        X = jnp.concatenate([v.astype(jnp.float32) for v in xb], axis=-1)
+        S = lax.dot_general(a8.astype(jnp.float32), X,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST)
+        S = S.astype(jnp.int32)
+    m5 = a8.shape[0]
+    return S.reshape(5, m5 // 5, 5, j).astype(jnp.uint32)
+
+
+def _recombine(S, csh, p, pinv):
+    """S: [5, M, 5, J] u32 limb-pair partial sums -> [M, J] Montgomery
+    product sum via sum_s mont_mul(T_s, 2^(7s) mod p)."""
+    out = None
+    for s in range(9):
+        lo_a = max(0, s - 4)
+        T = S[lo_a, :, s - lo_a, :]
+        for a in range(lo_a + 1, min(s, 4) + 1):
+            T = T + S[a, :, s - a, :]                 # < 2^24, no overflow
+        term = mont_mul(T, csh[s], p, pinv)
+        out = term if out is None else add_mod(out, term, p)
+    return out
+
+
+def ntt_fourstep_pallas(fs, x, rows=None, dot_impl: str = "f32",
+                        interpret: bool = False):
+    """x: [R, B, N] uint32 Mont coefficients -> [R, B, N] four-step bins.
+
+    fs: a parallel.ntt_fourstep.FourStepNtt (tables reused verbatim).
+    One grid step per limb row; everything for that row stays in VMEM.
+    """
+    import numpy as np
+
+    r, bsz, n = x.shape
+    n1, n2 = fs.n1, fs.n2
+    sel = lambda t: np.asarray(t) if rows is None else np.asarray(t)[
+        np.asarray(rows, dtype=np.int32)]
+    psi = jnp.asarray(sel(fs.base.psi))              # [R, N]
+    w1_8 = jnp.asarray(sel(fs.w1_8)).reshape(r, 5 * n1, n1)
+    w2_8 = jnp.asarray(sel(fs.w2_8)).reshape(r, 5 * n2, n2)
+    tw = jnp.asarray(sel(fs.tw))                     # [R, N1, N2]
+    csh = jnp.asarray(sel(fs.csh))                   # [R, 9]
+    p = jnp.asarray(fs._sel_np(rows, "p"))[:, 0]     # [R]
+    pinv = jnp.asarray(fs._sel_np(rows, "pinv"))[:, 0]
+
+    def kernel(x_ref, psi_ref, w1_ref, w2_ref, tw_ref, csh_ref, p_ref,
+               pinv_ref, out_ref):
+        pq = p_ref[0, 0]
+        piv = pinv_ref[0, 0]
+        cs = csh_ref[0]
+        v = mont_mul(x_ref[0], psi_ref[0], pq, piv)   # twist   [B, N]
+        # column DFT over j1: [n1, B*n2]
+        xt = v.reshape(bsz, n1, n2).swapaxes(0, 1).reshape(n1, bsz * n2)
+        a = _recombine(_limb_dot(w1_ref[0], xt, dot_impl), cs, pq, piv)
+        # twiddle: a [k1, B, j2] * tw[k1, j2]
+        a = a.reshape(n1, bsz, n2)
+        a = mont_mul(a, tw_ref[0][:, None, :], pq, piv)
+        # row DFT over j2: [n2, B*k1]
+        at = a.transpose(2, 1, 0).reshape(n2, bsz * n1)
+        b = _recombine(_limb_dot(w2_ref[0], at, dot_impl), cs, pq, piv)
+        # b [k2, B, k1] -> [B, N] with k = k2*N1 + k1
+        out_ref[0] = b.reshape(n2, bsz, n1).swapaxes(0, 1).reshape(bsz, n)
+
+    grid = (r,)
+    row = lambda i: (i, 0)
+    row3 = lambda i: (i, 0, 0)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bsz, n), row3),          # x
+            pl.BlockSpec((1, n), row),                # psi
+            pl.BlockSpec((1, 5 * n1, n1), row3),      # w1 limbs
+            pl.BlockSpec((1, 5 * n2, n2), row3),      # w2 limbs
+            pl.BlockSpec((1, n1, n2), row3),          # twiddle
+            pl.BlockSpec((1, 9), row),                # csh
+            pl.BlockSpec((1, 1), lambda i: (i, 0)),   # p
+            pl.BlockSpec((1, 1), lambda i: (i, 0)),   # pinv
+        ],
+        out_specs=pl.BlockSpec((1, bsz, n), row3),
+        out_shape=jax.ShapeDtypeStruct((r, bsz, n), jnp.uint32),
+        interpret=interpret,
+    )(x, psi, w1_8, w2_8, tw, csh, p[:, None], pinv[:, None])

@@ -104,3 +104,20 @@ def test_mxu_backend_context_ops():
     y = eng(ctx.encrypt_replicated(x), pt)
     got = ctx.decrypt_vec(y, d)
     np.testing.assert_allclose(got, W @ x, atol=5e-3)
+
+
+@pytest.mark.parametrize("dot_impl", ["f32", "int8"])
+def test_fourstep_pallas_bitwise(ctx, dot_impl):
+    """Fused Pallas four-step kernel (interpret mode) bitwise-equal to the
+    XLA MXU path."""
+    from fhe_spear_tpu.core.fourstep_pallas import ntt_fourstep_pallas
+
+    fs = FourStepNtt(ctx.ntt, 16, 16)
+    rows = (0, 1, 2)
+    x = rand_mont(ctx, rows, seed=42).reshape(3, 1, ctx.n)
+    x = jnp.concatenate([x, rand_mont(ctx, rows, seed=43
+                                      ).reshape(3, 1, ctx.n)], axis=1)
+    want = np.asarray(fs.ntt_mxu_b(x, rows))
+    got = np.asarray(ntt_fourstep_pallas(fs, x, rows, dot_impl=dot_impl,
+                                         interpret=True))
+    np.testing.assert_array_equal(got, want)
