@@ -16,16 +16,28 @@ __all__ = ["save_ciphertext", "load_ciphertext", "save_secret_key",
            "save_generation_state", "load_generation_state"]
 
 
-def save_ciphertext(path: str, ct) -> None:
-    np.savez_compressed(path, c=np.asarray(ct.c), scale=ct.scale)
+def save_ciphertext(path: str, ct, ctx=None) -> None:
+    """ct arrays are EVAL-domain: their bin order depends on the context's
+    NTT backend (stockham bitrev vs mxu natural), so the order is tagged
+    and checked on load."""
+    order = getattr(getattr(ctx, "ntt", None), "order", "stockham")
+    np.savez_compressed(path, c=np.asarray(ct.c), scale=ct.scale,
+                        order=np.bytes_(order.encode()))
 
 
-def load_ciphertext(path: str):
+def load_ciphertext(path: str, ctx=None):
     import jax.numpy as jnp
 
     from ..ckks.ciphertext import Ciphertext
 
     z = np.load(path)
+    saved = bytes(z["order"]).decode() if "order" in z else "stockham"
+    if ctx is not None:
+        cur = getattr(ctx.ntt, "order", "stockham")
+        assert saved == cur, (
+            f"ciphertext was serialized from a {saved!r}-order context; "
+            f"this context's NTT backend is {cur!r} — eval-domain bin "
+            "orders differ, the payload is not portable")
     return Ciphertext(jnp.asarray(z["c"]), float(z["scale"]))
 
 
