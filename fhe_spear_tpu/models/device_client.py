@@ -76,6 +76,7 @@ class DeviceTokenRunner:
         # entropy-derived base seed (deterministic only for seeded contexts)
         self._seed = int(ctx.rng.randint(0, 1 << 62, dtype=np.int64))
         self._token_fn = None
+        self._stream_fn = None
 
     # -- server-side pre-encoding (diagonals / PRESCALE, i32-resident) ----
 
@@ -391,6 +392,47 @@ class DeviceTokenRunner:
                         wkv=list(np.asarray(st_n, dtype=np.float64)))
         logits = layer_norm(x_out, m.ln_out_w, m.ln_out_b) @ m.head_w
         return logits, new
+
+    # -- multi-stream: ONE dispatch advances S independent sequences -------
+
+    def generate_tokens_streams(self, token_ids, states):
+        """Batched token step over S independent streams (vmapped over the
+        stream axis; server plaintexts, client weights, and rotation keys
+        shared).  One dispatch for all streams — the aggregate-throughput
+        analog of bench_streams' fused mode.  Returns (logits [S, vocab],
+        new_states)."""
+        m = self.model
+        if self._stream_fn is None:
+            self._stream_fn = jax.jit(jax.vmap(
+                self._build_token_fn(),
+                in_axes=(0, 0, 0, 0, 0, None, None)
+                + (None,) * len(self.eng._xs(self.level))))
+        xs0 = np.stack([
+            layer_norm(np.asarray(m.emb[t], dtype=np.float64), m.ln0_w,
+                       m.ln0_b).astype(np.float32) for t in token_ids])
+        self._seed += 1
+        seeds = (np.uint32(self._seed & 0xFFFFFFFF)
+                 + np.arange(len(token_ids), dtype=np.uint32) * np.uint32(
+                     0x9E3779B9))
+        pts = (self.pt["rkv"], self.pt["o"], self.pt["fk"], self.pt["fv"])
+        cw_stack = tuple(self.cw[nm] for nm in self.cw)
+        xpa = np.stack([np.stack(s.x_prev_att) for s in states]
+                       ).astype(np.float32)
+        xpf = np.stack([np.stack(s.x_prev_ffn) for s in states]
+                       ).astype(np.float32)
+        st = np.stack([np.stack(s.wkv) for s in states]).astype(np.float32)
+        x_out, xpa_n, xpf_n, st_n = self._stream_fn(
+            xs0, xpa, xpf, st, seeds, pts, cw_stack,
+            *self.eng._xs(self.level))
+        x_out = np.asarray(x_out, dtype=np.float64)
+        xpa_n = np.asarray(xpa_n, dtype=np.float64)
+        xpf_n = np.asarray(xpf_n, dtype=np.float64)
+        st_n = np.asarray(st_n, dtype=np.float64)
+        news = [RwkvState(x_prev_att=list(xpa_n[s]),
+                          x_prev_ffn=list(xpf_n[s]), wkv=list(st_n[s]))
+                for s in range(len(token_ids))]
+        logits = (layer_norm(x_out, m.ln_out_w, m.ln_out_b) @ m.head_w)
+        return logits, news
 
 
 def run_generation_device(ctx, model, seed_tokens, num_tokens,
