@@ -29,6 +29,8 @@ def main():
     import jax
     log(f"devices: {jax.devices()}")
 
+    mode = os.environ.get("BENCH_MODE", "classic")
+
     from fhe_spear_tpu.ckks import CkksContext, CkksParams
     from fhe_spear_tpu.models.rwkv7 import make_random_model, load_model, \
         save_model
@@ -48,17 +50,47 @@ def main():
     ctx = CkksContext(CkksParams(n=n, num_limbs=3, num_special=1), seed=0)
     log(f"context + keys ({time.perf_counter() - t0:.1f}s)")
 
-    results = run_generation_batched(ctx, model, None,
-                                     num_tokens=num_tokens + 1,
-                                     streams=streams, level=3, verbose=False,
-                                     log_fn=log)
+    if mode == "device":
+        # device-client streams: ONE dispatch advances all S sequences
+        from fhe_spear_tpu.models.device_client import DeviceTokenRunner
+        from fhe_spear_tpu.models.rwkv7 import generate_token_plaintext
+
+        runner = DeviceTokenRunner(
+            ctx, model, level=3,
+            cache_dir=os.environ.get("FHE_PREENC_CACHE"))
+        rng = np.random.default_rng(7)
+        toks = list(rng.integers(0, model.emb.shape[0], streams))
+        ref_toks = list(toks)
+        states = [model.zero_state() for _ in range(streams)]
+        ref_states = [model.zero_state() for _ in range(streams)]
+        results = []
+        for step in range(num_tokens + 1):
+            t0 = time.perf_counter()
+            logits, states = runner.generate_tokens_streams(toks, states)
+            dt = time.perf_counter() - t0
+            match = 0
+            for s in range(streams):
+                lr, ref_states[s] = generate_token_plaintext(
+                    model, ref_toks[s], ref_states[s])
+                ref_toks[s] = int(np.argmax(lr))
+                toks[s] = int(np.argmax(logits[s]))
+                match += toks[s] == ref_toks[s]
+            results.append({"sec": dt, "match": match})
+            log(f"step {step}: {dt:.2f}s match {match}/{streams}")
+    else:
+        results = run_generation_batched(ctx, model, None,
+                                         num_tokens=num_tokens + 1,
+                                         streams=streams, level=3,
+                                         verbose=False, log_fn=log)
     steady = results[1:]
     per_token = float(np.mean([r["sec"] for r in steady])) / num_blocks * 24
     agg = streams / per_token
     all_match = all(r["match"] == streams for r in results)
     print(json.dumps({
         "metric": f"aggregate tokens/s, {streams} streams, client-aided "
-                  f"RWKV-7 D={d} F={f} N={n} (24-block extrapolated)",
+                  f"RWKV-7 D={d} F={f} N={n} "
+                  f"({'device-client, ' if mode == 'device' else ''}"
+                  f"{'24-block measured' if num_blocks == 24 else '24-block extrapolated'})",
         "value": round(agg, 3),
         "unit": "tokens/s",
         "vs_baseline": round(agg / (1.0 / 79.0), 1),

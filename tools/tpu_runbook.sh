@@ -45,4 +45,8 @@ step 8 boot16k BENCH_N=16384 BENCH_LIMBS=40 BENCH_SPECIAL=4 BENCH_DNUM=10 \
   BENCH_RADIX=4 BENCH_WIDTH=2 BENCH_EXP_DEGREE=27 BENCH_MARGIN_BITS=3 \
   python bench_bootstrap.py
 
+# 9. device-client multi-stream aggregate throughput (24 resident blocks)
+step 9 dev_streams BENCH_MODE=device BENCH_BLOCKS=24 BENCH_STREAMS=8 \
+  BENCH_TOKENS=2 python bench_streams.py
+
 echo "runbook done $(date +%H:%M:%S)" >&2
