@@ -93,3 +93,20 @@ def test_sharded_production_token(ctx):
     assert int(np.argmax(logits_ref)) == int(np.argmax(logits_fhe))
     corr = float(np.corrcoef(logits_fhe, logits_ref)[0, 1])
     assert corr > 0.999, corr
+
+
+def test_sharded_bsgs_mxu_backend():
+    """Giant-sharded BSGS on the MXU (natural-order) NTT backend — the
+    mesh collectives and natural automorphism perms compose."""
+    from fhe_spear_tpu.parallel.sharded_bsgs import ShardedBsgsMatvec
+
+    ctx2 = CkksContext(CkksParams(n=256, num_limbs=3, num_special=1,
+                                  ntt_backend="mxu"), seed=1)
+    d = 64
+    mesh = Mesh(np.array(jax.devices()), ("giant",))
+    eng = ShardedBsgsMatvec(ctx2, d, mesh)
+    rng = np.random.default_rng(0)
+    w = rng.normal(0, 0.3, (d, d))
+    x = rng.normal(0, 1, d)
+    y = eng(ctx2.encrypt_replicated(x), eng.load(eng.encode(w), ctx2.L))
+    np.testing.assert_allclose(ctx2.decrypt_vec(y, d), w @ x, atol=5e-3)
