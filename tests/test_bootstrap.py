@@ -167,3 +167,20 @@ def test_fully_encrypted_chain_with_bootstrap():
     assert stats[-1]["bootstraps"] >= 1
     for s in stats:
         assert s["corr"] > 0.98, stats
+
+
+@pytest.mark.slow
+def test_bootstrap_mxu_backend():
+    """The full refresh on the MXU (four-step, natural-order) NTT backend:
+    ModRaise, factorized C2S/S2C, EvalMod, and every rotation run through
+    the systolic transform path."""
+    ctx2 = CkksContext(
+        CkksParams(n=128, num_limbs=20, num_special=2,
+                   secret_hamming_weight=16, ntt_backend="mxu"), seed=81)
+    bt2 = Bootstrapper(ctx2, exp_degree=23, radix=3)
+    rng = np.random.default_rng(1)
+    m = rng.uniform(-0.8, 0.8, ctx2.slots)
+    out = bt2.bootstrap(ctx2.mod_switch_to(ctx2.encrypt(m), 2))
+    got = ctx2.decrypt_vec(out)
+    assert float(np.abs(got - m).max()) < 5e-3
+    assert float(np.corrcoef(got, m)[0, 1]) > 0.9999
