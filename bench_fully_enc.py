@@ -99,6 +99,13 @@ def main():
                               log_fn=log)
     log(f"pre-encode ({time.perf_counter() - t0:.1f}s)")
 
+    if os.environ.get("BENCH_PREP_ONLY") == "1":
+        # cache-warming mode: weights + host pre-encode only (run on CPU
+        # ahead of the TPU measurement; caches are device-independent)
+        print(json.dumps({"metric": "prep-only", "value": 1, "unit": "",
+                          "vs_baseline": None, "detail": {"cache": cache}}))
+        return
+
     boot_fn = None
     if use_boot:
         from fhe_spear_tpu.ckks.bootstrap import Bootstrapper
