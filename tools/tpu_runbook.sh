@@ -49,4 +49,13 @@ step 8 boot16k BENCH_N=16384 BENCH_LIMBS=40 BENCH_SPECIAL=4 BENCH_DNUM=10 \
 step 9 dev_streams BENCH_MODE=device BENCH_BLOCKS=24 BENCH_STREAMS=8 \
   BENCH_TOKENS=2 python bench_streams.py
 
+# collect artifacts into the repo (committed by the session that ran this)
+for f in dev24 classic24 nonfused ntt prof_stock prof_mxu fe19 boot16k \
+         dev_streams; do
+  if [ -s "/tmp/rb_${f}.json" ] && head -c1 "/tmp/rb_${f}.json" | grep -q \
+      '{'; then
+    cp "/tmp/rb_${f}.json" "BENCH_LOCAL_r2_${f}.json"
+  fi
+done
+
 echo "runbook done $(date +%H:%M:%S)" >&2
