@@ -87,7 +87,8 @@ class DeviceTokenRunner:
         d = self.d
         stacks = {"rkv": [], "o": [], "fk": [], "fv": []}
         for bi, blk in enumerate(self.model.blocks):
-            bdir = (os.path.join(cache_dir, f"dc{bi}_{d}_{self.f}")
+            bdir = (os.path.join(cache_dir,
+                                 f"dc{bi}_{d}_{self.f}_{self.ctx.n}")
                     if cache_dir else None)
             names = list(stacks.keys())
             if bdir and all(os.path.exists(os.path.join(bdir, k + ".npy"))
