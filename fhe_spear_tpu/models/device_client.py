@@ -159,12 +159,17 @@ class DeviceTokenRunner:
         ctx = self.ctx
         enc = ctx.encoder
         n = ctx.n
-        # pre-cast to 32-bit in numpy: a dtype-demoting transfer is an
-        # eager convert_element_type, unimplemented over the axon tunnel
-        self._t_slot = jnp.asarray(np.asarray(enc._t_slot, dtype=np.int32))
-        self._t_conj = jnp.asarray(np.asarray(enc._t_conj, dtype=np.int32))
-        self._zeta = jnp.asarray(enc._zeta_pow.astype(np.complex64))
-        self._zeta_inv = jnp.asarray(enc._zeta_pow_inv.astype(np.complex64))
+        # keep every table as a HOST numpy array: complex64 device arrays
+        # cannot cross the axon-tunnel boundary (D2H copies and the
+        # closure-constant embedding jit does at trace time are both
+        # UNIMPLEMENTED; complex compute inside jit is fine), so the
+        # zeta twists are stored as f32 re/im and recombined on device
+        self._t_slot = np.asarray(enc._t_slot, dtype=np.int32)
+        self._t_conj = np.asarray(enc._t_conj, dtype=np.int32)
+        self._zeta_re = np.real(enc._zeta_pow).astype(np.float32)
+        self._zeta_im = np.imag(enc._zeta_pow).astype(np.float32)
+        self._zeta_inv_re = np.real(enc._zeta_pow_inv).astype(np.float32)
+        self._zeta_inv_im = np.imag(enc._zeta_pow_inv).astype(np.float32)
         l = self.level
         q = ctx.q_np[:l]
         self._t32r = jnp.asarray(np.array(
@@ -185,15 +190,19 @@ class DeviceTokenRunner:
         vals = vals.at[..., self._t_slot].set(z)
         vals = vals.at[..., self._t_conj].set(jnp.conj(z))
         b = jnp.fft.fft(vals, axis=-1) / n
-        coeffs = jnp.real(b * self._zeta_inv) * jnp.float32(ctx.scale)
+        zeta_inv = jax.lax.complex(jnp.asarray(self._zeta_inv_re),
+                                   jnp.asarray(self._zeta_inv_im))
+        coeffs = jnp.real(b * zeta_inv) * jnp.float32(ctx.scale)
         return jnp.round(coeffs).astype(jnp.int32)
 
     def _decode_dev(self, coeffs_f32):
         """f32 coefficient rows [..., N] (already divided by out scale) ->
         complex64 slots."""
         n = self.ctx.n
+        zeta = jax.lax.complex(jnp.asarray(self._zeta_re),
+                               jnp.asarray(self._zeta_im))
         vals = jnp.fft.ifft(coeffs_f32.astype(jnp.complex64)
-                            * self._zeta, axis=-1) * n
+                            * zeta, axis=-1) * n
         return vals[..., self._t_slot]
 
     def _encrypt_dev(self, m_i32, key):
