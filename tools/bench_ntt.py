@@ -54,17 +54,40 @@ def main():
     assert np.array_equal(got, want), "MXU four-step mismatch"
     log("bitwise-equal on TPU")
 
-    def bench(f):
-        jax.block_until_ready(f(x))
+    def bench(f, arg=None):
+        a = x if arg is None else arg
+        jax.block_until_ready(f(a))
         t0 = time.perf_counter()
         for _ in range(reps):
-            y = f(x)
+            y = f(a)
         jax.block_until_ready(y)
         return (time.perf_counter() - t0) / reps
 
     t_stock = bench(j_stock)
     t_mxu = bench(j_mxu)
     log(f"stockham {t_stock*1e3:.3f} ms  mxu {t_mxu*1e3:.3f} ms")
+
+    # Pallas fused four-step (twist+DFTs+twiddle in VMEM) — optional:
+    # report per dot_impl if Mosaic compiles it on this backend
+    pallas_ms = {}
+    from fhe_spear_tpu.core.fourstep_pallas import ntt_fourstep_pallas
+
+    xb = x[:, None, :]                                  # [R, 1, N]
+    for impl in ("f32", "int8"):
+        try:
+            j_pal = jax.jit(lambda v, _i=impl: ntt_fourstep_pallas(
+                fs, v, rows=rows, dot_impl=_i))
+            got_p = np.asarray(j_pal(xb))[:, 0, :]
+            # pallas kernel emits natural four-step bin order (same as
+            # ntt_mxu); compare via the same bitrev permutation
+            assert np.array_equal(got_p[..., bitrev_indices(n)], want), (
+                f"pallas {impl} mismatch")
+            t_pal = bench(lambda v: j_pal(v), arg=xb)
+            pallas_ms[impl] = round(t_pal * 1e3, 4)
+            log(f"pallas[{impl}] {t_pal*1e3:.3f} ms (bitwise-equal)")
+        except Exception as e:  # Mosaic/backend-specific: report, continue
+            pallas_ms[impl] = f"unavailable: {type(e).__name__}: {e}"[:200]
+            log(f"pallas[{impl}] failed: {e}")
 
     print(json.dumps({
         "metric": f"NTT [R={rows_n}, N={n}] forward transform (TPU)",
@@ -73,6 +96,7 @@ def main():
         "vs_baseline": round(t_stock / t_mxu, 3),
         "detail": {"stockham_ms": round(t_stock * 1e3, 4),
                    "mxu_ms": round(t_mxu * 1e3, 4),
+                   "pallas_ms": pallas_ms,
                    "n1": n1, "bitwise_equal": True},
     }))
 
