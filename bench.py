@@ -13,6 +13,12 @@ number; > 1 is faster).  Default stage mode is i32 (all 24 blocks'
 diagonals HBM-resident as int32 coefficients with in-kernel RNS
 expansion — the only mode where 24 blocks fit on one chip).
 
+Default transport is BENCH_MODE=device (the whole token — all blocks x
+4 protocol round trips, client nonlinearities included — as ONE jitted
+lax.scan dispatch; measured 11.16 s/token TRUE 24-block on v5e).  Set
+BENCH_MODE=classic for the per-round-trip transport (BENCH_FUSED=0 for
+explicit-ciphertext wire accounting).
+
 Prints exactly ONE JSON line on stdout; progress goes to stderr.
 """
 
@@ -68,7 +74,7 @@ def main():
     ctx = CkksContext(CkksParams(n=n, num_limbs=3, num_special=1), seed=0)
     log(f"context + keys ({time.perf_counter() - t0:.1f}s)")
 
-    mode = os.environ.get("BENCH_MODE", "classic")
+    mode = os.environ.get("BENCH_MODE", "device")
     if mode == "device":
         # device-resident client: ONE dispatch per token (the whole
         # 24-block x 4-round-trip protocol as a single jitted scan)
