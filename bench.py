@@ -75,6 +75,9 @@ def main():
     log(f"context + keys ({time.perf_counter() - t0:.1f}s)")
 
     mode = os.environ.get("BENCH_MODE", "device")
+    if mode == "device" and "BENCH_FUSED" in os.environ:
+        log("WARNING: BENCH_FUSED is ignored in device transport; set "
+            "BENCH_MODE=classic for explicit-ciphertext wire accounting")
     if mode == "device":
         # device-resident client: ONE dispatch per token (the whole
         # 24-block x 4-round-trip protocol as a single jitted scan)
