@@ -88,10 +88,10 @@ def ntt_fourstep_pallas(fs, x, rows=None, dot_impl: str = "f32",
 
     def kernel(x_ref, psi_ref, w1_ref, w2_ref, tw_ref, csh_ref, p_ref,
                pinv_ref, out_ref):
-        pq = p_ref[0, 0]
-        piv = pinv_ref[0, 0]
-        cs = csh_ref[0]
-        v = mont_mul(x_ref[0], psi_ref[0], pq, piv)   # twist   [B, N]
+        pq = p_ref[0, 0, 0]
+        piv = pinv_ref[0, 0, 0]
+        cs = csh_ref[0, 0]
+        v = mont_mul(x_ref[0], psi_ref[0, 0], pq, piv)  # twist   [B, N]
         # column DFT over j1: [n1, B*n2]
         xt = v.reshape(bsz, n1, n2).swapaxes(0, 1).reshape(n1, bsz * n2)
         a = _recombine(_limb_dot(w1_ref[0], xt, dot_impl), cs, pq, piv)
@@ -105,22 +105,26 @@ def ntt_fourstep_pallas(fs, x, rows=None, dot_impl: str = "f32",
         out_ref[0] = b.reshape(n2, bsz, n1).swapaxes(0, 1).reshape(bsz, n)
 
     grid = (r,)
-    row = lambda i: (i, 0)
     row3 = lambda i: (i, 0, 0)
+    # every per-limb operand is rank-3 with a leading grid axis and a
+    # block equal to the full trailing dims: the Mosaic lowering requires
+    # the last two block dims to be (multiples of 8, 128) OR exactly the
+    # array dims — a rank-2 (1, n) block over a (R, n) array violates that
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bsz, n), row3),          # x
-            pl.BlockSpec((1, n), row),                # psi
+            pl.BlockSpec((1, 1, n), row3),            # psi
             pl.BlockSpec((1, 5 * n1, n1), row3),      # w1 limbs
             pl.BlockSpec((1, 5 * n2, n2), row3),      # w2 limbs
             pl.BlockSpec((1, n1, n2), row3),          # twiddle
-            pl.BlockSpec((1, 9), row),                # csh
-            pl.BlockSpec((1, 1), lambda i: (i, 0)),   # p
-            pl.BlockSpec((1, 1), lambda i: (i, 0)),   # pinv
+            pl.BlockSpec((1, 1, 9), row3),            # csh
+            pl.BlockSpec((1, 1, 1), row3),            # p
+            pl.BlockSpec((1, 1, 1), row3),            # pinv
         ],
         out_specs=pl.BlockSpec((1, bsz, n), row3),
         out_shape=jax.ShapeDtypeStruct((r, bsz, n), jnp.uint32),
         interpret=interpret,
-    )(x, psi, w1_8, w2_8, tw, csh, p[:, None], pinv[:, None])
+    )(x, psi[:, None, :], w1_8, w2_8, tw, csh[:, None, :], p[:, None, None],
+      pinv[:, None, None])

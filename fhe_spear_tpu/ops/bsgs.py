@@ -168,12 +168,24 @@ class BsgsMatvec:
         """kernel(c, pt, bp, bkb, bka, gp, gkb, gka) — all data as args.
 
         i32=True: pt arrives as int32 coefficient encodings [B, G, N] and
-        each giant group is RNS-expanded to [G, l, N] residues INSIDE the
-        scan body — one group-sized transient regardless of B or l, which
-        is what lets deep chains (l ~ 60) and 24-resident-block models run
-        without materializing [B, G, l, N]."""
+        giant groups are RNS-expanded to residues INSIDE the kernel in
+        chunks — a bounded transient regardless of B or l, which is what
+        lets deep chains (l ~ 60) and 24-resident-block models run without
+        materializing [B, G, l, N].
+
+        Layout strategy (measured on v5e, docs/NOTES_r3.md): the G-1 baby
+        keyswitches are independent, and the B-1 giant groups only share
+        the final accumulation — both were originally lax.scan loops (one
+        small tensor per step, latency-bound).  The babies are evaluated
+        as ONE batched keyswitch (vmap), and the giants in chunks of
+        FHE_GIANT_CHUNK groups: each chunk batches its diagonal expansion
+        (one [chunk*G*l, N]-row NTT), its contraction, and its keyswitch,
+        trading a ~chunk*G-ciphertext transient for VPU/MXU-sized ops."""
+        import os
+
         ctx = self.ctx
         p, _ = ctx._p(l)
+        chunk = max(1, int(os.environ.get("FHE_GIANT_CHUNK", "8")))
         expand = (lambda ptg: rns_expand(ctx, ptg, l)) if i32 else (
             lambda ptg: ptg)
 
@@ -186,37 +198,70 @@ class BsgsMatvec:
             return jnp.stack([c0, ks[..., 1, :, :]], axis=-3)
 
         def contract(babies, ptg):
-            """sum_b babies[b] * ptg[b]: [G, 2, l, N] x [G, l, N] -> [2, l, N]."""
-            prod = mont_mul(babies, ptg[:, None], p, ctx.ntt.pinv[:l])
-            while prod.shape[0] > 1:
-                m = prod.shape[0]
+            """sum_b babies[b] * ptg[b]: [G, 2, l, N] x [G, l, N] -> [2, l, N]
+            (or with a leading chunk axis on both)."""
+            prod = mont_mul(babies, ptg[..., :, None, :, :], p,
+                            ctx.ntt.pinv[:l])
+            while prod.shape[-4] > 1:
+                m = prod.shape[-4]
                 if m % 2:
-                    head, prod = prod[:1], prod[1:]
-                    prod = prod.at[0].set(add_mod(prod[0], head[0], p))
+                    head = prod[..., :1, :, :, :]
+                    prod = prod[..., 1:, :, :, :]
+                    first = add_mod(prod[..., 0, :, :, :],
+                                    head[..., 0, :, :, :], p)
+                    prod = prod.at[..., 0, :, :, :].set(first)
                     m -= 1
-                prod = add_mod(prod[: m // 2], prod[m // 2:], p)
-            return prod[0]
+                prod = add_mod(prod[..., : m // 2, :, :, :],
+                               prod[..., m // 2:, :, :, :], p)
+            return prod[..., 0, :, :, :]
+
+        def giant_chunk(babies, ptc, perms, kbs, kas):
+            """One batched chunk of giant groups -> their rotated partial
+            sums, tree-added to a single [2, l, N] contribution."""
+            accs = contract(babies, expand(ptc))        # [chunk, 2, l, N]
+            D2 = ctx._decompose(accs[..., 1, :, :], l)  # [chunk, d_l, T, N]
+            rots = jax.vmap(rotate_with)(accs, D2, perms, kbs, kas)
+            s = rots
+            while s.shape[0] > 1:
+                m = s.shape[0]
+                if m % 2:
+                    s = s.at[0].set(add_mod(s[0], s[m - 1], p))
+                    s = s[: m - 1]
+                    m -= 1
+                s = add_mod(s[: m // 2], s[m // 2:], p)
+            return s[0]
 
         def kernel(c, pt, bp, bkb, bka, gp, gkb, gka):
-            # hoisted baby rotations
+            # hoisted baby rotations — ONE batched keyswitch over G-1 keys
             D1 = ctx._decompose(c[..., 1, :, :], l)
             if self.baby_steps:
-                def baby_body(_, xs):
-                    return None, rotate_with(c, D1, *xs)
-                _, rot = lax.scan(baby_body, None, (bp, bkb, bka))
+                rot = jax.vmap(
+                    lambda perm, kb, ka: rotate_with(c, D1, perm, kb, ka)
+                )(bp, bkb, bka)
                 babies = jnp.concatenate([c[None], rot])        # [G, 2, l, N]
             else:
                 babies = c[None]
             # giant group 0 (no rotation)
             y = contract(babies, expand(pt[0]))
-            if self.giant_steps:
-                def giant_body(y, xs):
-                    ptg, perm, kb, ka = xs
-                    acc = contract(babies, expand(ptg))
-                    D2 = ctx._decompose(acc[..., 1, :, :], l)
-                    y = add_mod(y, rotate_with(acc, D2, perm, kb, ka), p)
-                    return y, None
-                y, _ = lax.scan(giant_body, y, (pt[1:], gp, gkb, gka))
+            ng = len(self.giant_steps)
+            if ng:
+                nmain = (ng // chunk) * chunk
+                if nmain:
+                    ptm = pt[1: 1 + nmain].reshape((nmain // chunk, chunk)
+                                                   + pt.shape[1:])
+                    gpm = gp[:nmain].reshape(nmain // chunk, chunk, -1)
+                    kbm = gkb[:nmain].reshape((nmain // chunk, chunk)
+                                              + gkb.shape[1:])
+                    kam = gka[:nmain].reshape((nmain // chunk, chunk)
+                                              + gka.shape[1:])
+
+                    def chunk_body(y, xs):
+                        return add_mod(y, giant_chunk(babies, *xs), p), None
+                    y, _ = lax.scan(chunk_body, y, (ptm, gpm, kbm, kam))
+                if ng > nmain:                       # remainder, one batch
+                    y = add_mod(y, giant_chunk(
+                        babies, pt[1 + nmain:], gp[nmain:], gkb[nmain:],
+                        gka[nmain:]), p)
             return ctx._rescale_core(y, l)
         return kernel
 

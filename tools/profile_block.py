@@ -53,43 +53,83 @@ def main():
     w = rng.normal(0, 0.3, (d, d))
     pt = eng.load(eng.encode(w), level)
 
-    def timeit(fn, *args):
-        y = fn(*args)
-        jax.block_until_ready(y)
+    import jax.numpy as jnp
+    from jax import lax
+
+    def timeit(make_body, x0, *extras):
+        """Honest per-call device time: `reps` calls chained inside ONE
+        jitted fori_loop, each iteration's input perturbed by the loop
+        index (a loop-invariant body would be hoisted by XLA, and repeated
+        identical async dispatches can be coalesced by the tunnel).
+        make_body(x, *extras) must return an array; x0 is uint32.  Large
+        operands go in `extras` — runtime args, never closure constants."""
+        def chain_fn(v, *ex):
+            def step(i, carry):
+                xi = carry.at[(0,) * carry.ndim].set(
+                    i.astype(jnp.uint32) % 3)
+                y = make_body(xi, *ex)
+                # fold one word of the result back into the carry: a real
+                # data dependence from iteration i to i+1
+                return carry.at[(0,) * carry.ndim].set(
+                    y.reshape(-1)[0].astype(jnp.uint32) % 3)
+            return lax.fori_loop(0, reps, step, v)
+
+        chain = jax.jit(chain_fn)
+        jax.block_until_ready(chain(x0, *extras))
         t0 = time.perf_counter()
-        for _ in range(reps):
-            y = fn(*args)
+        for _ in range(3):
+            y = chain(x0, *extras)
         jax.block_until_ready(y)
-        return (time.perf_counter() - t0) / reps
+        return (time.perf_counter() - t0) / (3 * reps)
 
     phases = {}
 
     # 1. full BSGS matvec (keyswitch-heavy; the server projection kernel)
-    kern = eng._kernel(level)
-    phases["bsgs_matvec"] = timeit(lambda: kern(ct.c, pt))
+    kern_raw = eng._kernel_raw(level)
+    xs = eng._xs(level)
+    phases["bsgs_matvec"] = timeit(
+        lambda c, pt_, *xs_: kern_raw(c, pt_, *xs_), ct.c, pt, *xs)
+
+    # 1b. same kernel with i32-staged diagonals (in-kernel RNS expansion —
+    # the production device-client / deep-chain configuration)
+    kern_i32 = eng._kernel_raw(level, i32=True)
+    pt_i32 = jax.jit(lambda a: a)(jnp.asarray(eng.encode(w).coeffs))
+    phases["bsgs_matvec_i32"] = timeit(
+        lambda c, pt_, *xs_: kern_i32(c, pt_, *xs_), ct.c, pt_i32, *xs)
 
     # 2. hoisted digit decomposition alone
-    jd = jax.jit(lambda c: ctx._decompose(c[1], level))
-    phases["decompose"] = timeit(lambda: jd(ct.c))
+    phases["decompose"] = timeit(lambda c: ctx._decompose(c[1], level), ct.c)
 
     # 3. one keyswitch apply + mod-down
-    D = jd(ct.c)
+    D = jax.jit(lambda c: ctx._decompose(c[1], level))(ct.c)
     g = ctx.galois_element(1)
     kb, ka = ctx.select_key(ctx.galois_keys[g], level)
-    jks = jax.jit(lambda D_, kb_, ka_: ctx._mod_down(
-        ctx._apply_ksk(D_, kb_, ka_, level), level))
-    phases["keyswitch_apply"] = timeit(lambda: jks(D, kb, ka))
+    phases["keyswitch_apply"] = timeit(
+        lambda D_, kb_, ka_: ctx._mod_down(
+            ctx._apply_ksk(D_, kb_, ka_, level), level), D, kb, ka)
 
     # 4. forward+inverse NTT of a ciphertext-sized tensor
     rows = tuple(range(level))
-    jn = jax.jit(lambda v: ctx.ntt.ntt(ctx.ntt.intt(v, rows), rows))
-    phases["ntt_roundtrip"] = timeit(lambda: jn(ct.c[0]))
+    phases["ntt_roundtrip"] = timeit(
+        lambda v: ctx.ntt.ntt(ctx.ntt.intt(v, rows), rows), ct.c[0])
 
-    # 5. encrypt + decrypt (client boundary ops)
+    # 5. encrypt + decrypt (client boundary ops; host encode included, so
+    # these are dispatch+host-bound — NOT the device-client path, which
+    # encrypts/decrypts inside the fused token kernel)
     m = rng.normal(0, 1, ctx.slots)
-    phases["encrypt"] = timeit(lambda: ctx.encrypt(m).c)
-    phases["decrypt"] = timeit(lambda: ctx.decrypt_vec(ct))
 
+    def timeit_host(fn):
+        fn()
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            y = fn()
+        jax.block_until_ready(y)
+        return (time.perf_counter() - t0) / reps
+
+    phases["encrypt_host"] = timeit_host(lambda: ctx.encrypt(m).c)
+    phases["decrypt_host"] = timeit_host(lambda: ctx.decrypt_vec(ct))
+
+    kern = eng._kernel(level)
     with jax.profiler.trace(trace_dir):
         for _ in range(3):
             y = kern(ct.c, pt)
