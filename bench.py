@@ -71,8 +71,15 @@ def main():
         log(f"model built ({time.perf_counter() - t0:.1f}s)")
 
     t0 = time.perf_counter()
-    ctx = CkksContext(CkksParams(n=n, num_limbs=3, num_special=1), seed=0)
-    log(f"context + keys ({time.perf_counter() - t0:.1f}s)")
+    # NTT backend knob: stockham (XLA chain, the measured-fastest default
+    # — at production batches it runs at the VPU u32-multiply compute
+    # bound, ~3.1 us/poly at N=8192), pallas (fused VMEM kernel, bitwise-
+    # equal, within ~30% of stockham), or mxu (four-step systolic)
+    backend = os.environ.get("BENCH_NTT_BACKEND", "stockham")
+    ctx = CkksContext(CkksParams(n=n, num_limbs=3, num_special=1,
+                                 ntt_backend=backend), seed=0)
+    log(f"context + keys (ntt_backend={backend}, "
+        f"{time.perf_counter() - t0:.1f}s)")
 
     mode = os.environ.get("BENCH_MODE", "device")
     if mode == "device" and "BENCH_FUSED" in os.environ:

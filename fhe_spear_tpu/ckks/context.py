@@ -93,11 +93,13 @@ class CkksParams:
     # digit per limb (exact centered extension, minimal-noise mode for
     # shallow chains where keys are small anyway).
     dnum: int | None = None
-    # NTT transform backend: "stockham" (VPU butterfly chain) or "mxu"
-    # (four-step int8-limb systolic matmuls, natural bin order — see
-    # parallel/ntt_fourstep.FourStepBackend).  Contexts on different
-    # backends are functionally equivalent but their eval-domain bin
-    # orders differ; limb-sharded keyswitch requires "stockham".
+    # NTT transform backend: "stockham" (VPU butterfly chain), "pallas"
+    # (same transform fused in VMEM via one Pallas kernel — bitwise- and
+    # bin-order-compatible with "stockham"), or "mxu" (four-step int8-limb
+    # systolic matmuls, natural bin order — see
+    # parallel/ntt_fourstep.FourStepBackend).  Contexts on different bin
+    # orders are functionally equivalent but not binary-compatible;
+    # limb-sharded keyswitch requires bitrev ("stockham"/"pallas") order.
     ntt_backend: str = "stockham"
 
     @property
@@ -182,6 +184,9 @@ class CkksContext:
         if params.ntt_backend == "mxu":
             from ..parallel.ntt_fourstep import FourStepBackend
             self.ntt = FourStepBackend(self.ntt)
+        elif params.ntt_backend == "pallas":
+            from ..core.ntt_pallas import PallasBackend
+            self.ntt = PallasBackend(self.ntt)
         self.encoder = SlotEncoder(params.n)
         # legacy RandomState: the PCG64 Generator is pathologically slow
         # in some numpy builds (50x); MT19937 bulk sampling is not.

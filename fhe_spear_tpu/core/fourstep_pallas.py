@@ -35,7 +35,10 @@ def _limb_dot(a8, x_u32, dot_impl):
     Splits x into 5 x 7-bit limbs on the fly, runs ONE [5M, K] x [K, 5J]
     contraction, returns the int32 partial-sum grid as uint32."""
     k, j = x_u32.shape
-    xb = [((x_u32 >> jnp.uint32(7 * b)) & jnp.uint32(0x7F)) for b in range(5)]
+    # limbs fit in 7 bits: cast via int32 (Mosaic has no uint32->float32
+    # or uint32->int8 cast; the int32 hop is exact for values < 2^31)
+    xb = [((x_u32 >> jnp.uint32(7 * b)) & jnp.uint32(0x7F)
+           ).astype(jnp.int32) for b in range(5)]
     if dot_impl == "int8":
         X = jnp.concatenate([v.astype(jnp.int8) for v in xb], axis=-1)
         S = lax.dot_general(a8, X, (((1,), (0,)), ((), ())),

@@ -75,9 +75,25 @@ def main():
     t_mxu = bench(j_mxu)
     log(f"stockham {t_stock*1e3:.3f} ms  mxu {t_mxu*1e3:.3f} ms")
 
+    # Pallas fused Stockham (all butterfly stages in VMEM, bitrev order —
+    # bitwise-equal to the jnp chain directly)
+    pallas_ms = {}
+    from fhe_spear_tpu.core.ntt_pallas import ntt_pallas
+
+    try:
+        j_ps = jax.jit(lambda v: ntt_pallas(ntt, v))
+        got_s = np.asarray(j_ps(x[:, None, :]))[:, 0, :]
+        assert np.array_equal(got_s, want), "pallas stockham mismatch"
+        t_ps = bench(lambda v: j_ps(v), arg=x[:, None, :])
+        pallas_ms["stockham_fused"] = round(t_ps * 1e3, 4)
+        log(f"pallas[stockham_fused] {t_ps*1e3:.3f} ms (bitwise-equal)")
+    except Exception as e:
+        pallas_ms["stockham_fused"] = (
+            f"unavailable: {type(e).__name__}: {e}"[:200])
+        log(f"pallas[stockham_fused] failed: {e}")
+
     # Pallas fused four-step (twist+DFTs+twiddle in VMEM) — optional:
     # report per dot_impl if Mosaic compiles it on this backend
-    pallas_ms = {}
     from fhe_spear_tpu.core.fourstep_pallas import ntt_fourstep_pallas
 
     xb = x[:, None, :]                                  # [R, 1, N]
