@@ -257,26 +257,27 @@ class DeviceTokenRunner:
         out = kern(c, pt_i32)
         return self._decrypt_dev(out) * jnp.float32(PRESCALE)
 
-    def _build_token_fn(self):
-        ctx = self.ctx
-        l = self.level
-        d, P = self.d, self.P
-        nb = len(self.model.blocks)
+    def _block_body(self, xs):
+        """body(carry, per_block): the single-block protocol step — all 4
+        encrypted round trips plus the device-resident client math.
+
+        carry = (x [d] f32, v_first [d] f32, bi i32); per_block =
+        (client-weight tuple, (pt_rkv, pt_o, pt_fk, pt_fv), (xpa, xpf,
+        wkv state), keys [4]).  Returns ((x', v_first', bi+1),
+        (x_ln, x_ffn_ln, new_state)) — the aux outputs become the next
+        token's per-block token-mix/WKV state.  Used by the token scan
+        (one jitted dispatch per token) and by the multi-host block
+        pipeline (parallel/block_pipeline.py).
+        """
+        d = self.d
         h = self.model.n_head
         hs = self.model.head_size
-        raw = self.eng._kernel_raw(l, i32=True)
+        raw = self.eng._kernel_raw(self.level, i32=True)
         kern_b = jax.vmap(raw, in_axes=(0, 0) + (None,) * 6)    # batched
         kern_s = jax.vmap(raw, in_axes=(None, 0) + (None,) * 6)  # shared ct
-
         cwf = list(self.cw.keys())
 
-        # NOTE: rotation keys (xs) and the stacked client weights are
-        # RUNTIME ARGUMENTS — closed-over device arrays would be embedded
-        # into the HLO as constants (~100 MB of keys at D=2048), blowing
-        # compile time (docs/NOTES_r1.md item 3)
-
-        def body_with(xs):
-          def body(carry, per_block):
+        def body(carry, per_block):
             x, v_first, bi = carry
             w = dict(zip(cwf, per_block[0]))
             pt_rkv, pt_o, pt_fk, pt_fv = per_block[1]
@@ -362,7 +363,15 @@ class DeviceTokenRunner:
             x = x + v_ffn
 
             return (x, v_first, bi + 1), (x_ln, x_ffn_ln, new_state)
-          return body
+        return body
+
+    def _build_token_fn(self):
+        nb = len(self.model.blocks)
+
+        # NOTE: rotation keys (xs) and the stacked client weights are
+        # RUNTIME ARGUMENTS — closed-over device arrays would be embedded
+        # into the HLO as constants (~100 MB of keys at D=2048), blowing
+        # compile time (docs/NOTES_r1.md item 3)
 
         def token_fn(x0, xpa, xpf, states, seed, pts, cw_stack, *xs):
             # key derivation INSIDE the jit: eager PRNGKey/convert ops are
@@ -370,7 +379,7 @@ class DeviceTokenRunner:
             keys = jax.random.split(jax.random.PRNGKey(seed), (nb, 4))
             carry = (x0, jnp.zeros_like(x0), jnp.int32(0))
             (x, _, _), (xpa_n, xpf_n, st_n) = lax.scan(
-                body_with(xs), carry,
+                self._block_body(xs), carry,
                 (cw_stack, pts, (xpa, xpf, states), keys))
             return x, xpa_n, xpf_n, st_n
 
