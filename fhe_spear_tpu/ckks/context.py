@@ -354,6 +354,15 @@ class CkksContext:
         """Active keyswitch digits at level l (= l for single-limb digits)."""
         return -(-l // self.gsize)
 
+    def identity_ksk(self) -> KeySwitchKey:
+        """Keyswitch key for s -> s (the identity rotation).  Used where a
+        stacked-rotation kernel meets a step whose Galois element is 1
+        (rotation ≡ 0 mod slots) so every lane runs the same keyswitch
+        code; also keeps the sharded BSGS body uniform across devices."""
+        if not hasattr(self, "_identity_ksk"):
+            self._identity_ksk = self._make_ksk(self.s_eval)
+        return self._identity_ksk
+
     def _make_ksk(self, sprime_eval: jnp.ndarray) -> KeySwitchKey:
         """Keyswitch key for s' -> s.  sprime_eval: [L+K, N] eval/Mont."""
         LK = self.L + self.K
@@ -421,14 +430,25 @@ class CkksContext:
             return
         LK = self.L + self.K
         all_rows = tuple(range(LK))
-        perms = np.stack([self.ntt.autoperm(g) for g in gs])
         m = len(gs)
-        a = jnp.asarray(self._uniform((m, self.dnum), all_rows))
-        e = jnp.asarray(self._reduce_rows(self._gauss((m, self.dnum)),
-                                          all_rows))
-        b2, a2 = self._j_make_ksk_batch(jnp.asarray(perms), a, e)
-        for i, g in enumerate(gs):
-            self.galois_keys[g] = KeySwitchKey(b2[i], a2[i])
+        # chunked batches: one full-width batch holds 2x [m, dnum, LK, N]
+        # inputs + outputs live at once — at deep-chain parameters
+        # (L ~ 60, N = 16384) that is ~19 GB of transients on a 16 GB
+        # chip.  16 keys per batch keeps the keygen transient ~1 GB while
+        # preserving the seeded RNG stream (draws happen in the same
+        # order).  Only the final per-key buffers stay resident.
+        ch = 16
+        for c0 in range(0, m, ch):
+            sub = gs[c0: c0 + ch]
+            perms = np.stack([self.ntt.autoperm(g) for g in sub])
+            a = jnp.asarray(self._uniform((len(sub), self.dnum), all_rows))
+            e = jnp.asarray(self._reduce_rows(
+                self._gauss((len(sub), self.dnum)), all_rows))
+            b2, a2 = self._j_make_ksk_batch(jnp.asarray(perms), a, e)
+            del a, e
+            for i, g in enumerate(sub):
+                self.galois_keys[g] = KeySwitchKey(b2[i], a2[i])
+            del b2, a2
 
     @functools.cached_property
     def _j_make_ksk_batch(self):

@@ -29,6 +29,7 @@ __all__ = [
     "neg_mod",
     "cond_sub",
     "barrett_reduce",
+    "shoup_mul",
 ]
 
 # python int literals (not jnp scalars): Pallas kernels reject captured
@@ -92,6 +93,26 @@ def mont_mul(a, b, p, pinv):
     lo = a * b  # wrapping uint32 multiply = exact low word
     hi = mul_hi_u32(a, b)
     return mont_reduce_wide(hi, lo, p, pinv)
+
+
+def shoup_mul(a, w, ws, p):
+    """(a * w) mod p for a CONSTANT multiplicand w (Shoup/Harvey trick).
+
+    ws = floor(w * 2^32 / p) is precomputed once per constant.  Costs 3
+    mul-hi partial products + 2 low multiplies — vs mont_mul's 8 — so
+    every twiddle/twist multiply in the NTT (where one operand is a fixed
+    table entry) gets ~40% cheaper on the VPU.
+
+    Exact for a in [0, p), w in [0, p), p < 2^31: q = floor(a*ws/2^32)
+    satisfies a*w - q*p in [0, 2p) (Harvey, "Faster arithmetic for
+    number-theoretic transforms"), fixed by one conditional subtract.
+    Note w is the PLAIN value (not Montgomery form): multiplying a
+    Montgomery-form a by a plain constant keeps the Montgomery form, so
+    outputs are bitwise-identical to mont_mul(a, w_mont).
+    """
+    q = mul_hi_u32(a, ws)
+    r = a * w - q * p  # wrapping uint32; true value in [0, 2p)
+    return cond_sub(r, p)
 
 
 def barrett_reduce(x, p, mu):

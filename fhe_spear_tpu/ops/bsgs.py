@@ -142,20 +142,37 @@ class BsgsMatvec:
         ARGUMENTS (closure constants would be embedded into the compiled
         HLO — ~100 MB of constants at D=2048 and minutes of compile time).
         Returns (baby_perms, baby_kb, baby_ka, giant_perms, giant_kb,
-        giant_ka)."""
+        giant_ka).
+
+        The cache holds at most 2 levels (a fully-encrypted block touches
+        l for its key projection and l-2 for its value projection): each
+        stack is a full gathered COPY of every rotation key (~6 GB at
+        D=2048/N=16384/L=59), and a deep chain walks ~40 distinct levels —
+        an unbounded cache OOMs the chip (round-3 fe19 postmortem).
+        Re-stacking an evicted level costs one device gather."""
         if l not in self._xs_cache:
             ctx = self.ctx
             n = ctx.n
+            while len(self._xs_cache) >= 2:
+                self._xs_cache.pop(next(iter(self._xs_cache)))
 
             # stacking runs jitted: eager concatenate dispatches are
             # unimplemented over the axon TPU tunnel
             stk = jax.jit(lambda bs, as_: (jnp.stack(bs), jnp.stack(as_)))
 
             def stack_keys(steps):
-                perms = np.stack([ctx.ntt.autoperm(ctx.galois_element(s))
-                                  for s in steps]).astype(np.int32)
-                kb, ka = zip(*(ctx.select_key(
-                    ctx.galois_keys[ctx.galois_element(s)], l) for s in steps))
+                gs = [ctx.galois_element(s) for s in steps]
+                perms = np.stack([ctx.ntt.autoperm(g) for g in gs]
+                                 ).astype(np.int32)
+                # a step that is ≡ 0 mod slots has Galois element 1 (it
+                # happens on DiagonalMatvec offset lattices, e.g. the
+                # N=16384 bootstrap C2S stages): rotation is the identity
+                # and no rotation key exists — switch with the identity
+                # key (s -> s) to keep the stacked kernel uniform (one
+                # keyswitch of extra noise on that group only)
+                keys = [(ctx.identity_ksk() if g == 1 else
+                         ctx.galois_keys[g]) for g in gs]
+                kb, ka = zip(*(ctx.select_key(k, l) for k in keys))
                 kbs, kas = stk(list(kb), list(ka))
                 return (jnp.asarray(perms), kbs, kas)
 
@@ -231,14 +248,23 @@ class BsgsMatvec:
                 s = add_mod(s[: m // 2], s[m // 2:], p)
             return s[0]
 
+        # baby keyswitches run batched; at deep-chain parameters one batch
+        # of G-1 digit tensors [G-1, d_l, l+K, N] is multiple GB, so the
+        # batch is split into FHE_BABY_CHUNK-sized pieces (0 = one batch)
+        nb_steps = len(self.baby_steps)
+        bchunk = int(os.environ.get("FHE_BABY_CHUNK", "0")) or max(
+            1, nb_steps)
+
         def kernel(c, pt, bp, bkb, bka, gp, gkb, gka):
-            # hoisted baby rotations — ONE batched keyswitch over G-1 keys
+            # hoisted baby rotations — batched keyswitch over G-1 keys
             D1 = ctx._decompose(c[..., 1, :, :], l)
             if self.baby_steps:
-                rot = jax.vmap(
+                rots = [jax.vmap(
                     lambda perm, kb, ka: rotate_with(c, D1, perm, kb, ka)
-                )(bp, bkb, bka)
-                babies = jnp.concatenate([c[None], rot])        # [G, 2, l, N]
+                )(bp[c0: c0 + bchunk], bkb[c0: c0 + bchunk],
+                  bka[c0: c0 + bchunk])
+                    for c0 in range(0, nb_steps, bchunk)]
+                babies = jnp.concatenate([c[None]] + rots)      # [G, 2, l, N]
             else:
                 babies = c[None]
             # giant group 0 (no rotation)

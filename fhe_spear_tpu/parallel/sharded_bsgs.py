@@ -51,8 +51,7 @@ class ShardedBsgsMatvec:
         n_dev = mesh.shape[axis]
         assert self.B % n_dev == 0, (self.B, n_dev)
         self.eng = BsgsMatvec(ctx, d)          # host encode + galois keys
-        if not hasattr(ctx, "identity_key"):
-            ctx.identity_key = ctx._make_ksk(ctx.s_eval)
+        ctx.identity_ksk()                     # ensure the s -> s key exists
         self._shift16 = make_shift16_const(ctx.primes)
 
     def encode(self, w, scale=None):
@@ -81,7 +80,7 @@ class ShardedBsgsMatvec:
             gs = [ctx.galois_element(s) for s in steps]
             perms = np.stack([ctx.ntt.autoperm(g) for g in gs]
                              ).astype(np.int32)
-            keys = [(ctx.identity_key if g == 1 else ctx.galois_keys[g])
+            keys = [(ctx.identity_ksk() if g == 1 else ctx.galois_keys[g])
                     for g in gs]
             kb, ka = zip(*(ctx.select_key(k, l) for k in keys))
             # jitted stack: eager concatenate is unimplemented on the tunnel

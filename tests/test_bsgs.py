@@ -68,3 +68,26 @@ def test_matvec_chain(ctx):
     y2 = eng(y1, eng.load(eng.encode(w2), ctx.L - 1))
     assert y2.level == ctx.L - 2
     np.testing.assert_allclose(ctx.decrypt_vec(y2, d), w2 @ (w1 @ x), atol=5e-3)
+
+
+def test_diagonal_matvec_identity_giant_step(ctx):
+    """An offset lattice whose giant step is ≡ 0 mod slots maps to Galois
+    element 1 (no rotation key exists); the stacked kernel must route it
+    through the identity keyswitch key.  Regression: the N=16384
+    bootstrap C2S stages hit this (KeyError: 1)."""
+    from fhe_spear_tpu.ops.bsgs import DiagonalMatvec
+
+    s = ctx.slots
+    offsets = [0, s // 2]                    # unit s//2, G=2 -> step -s ≡ 0
+    eng = DiagonalMatvec(ctx, offsets)
+    assert any(ctx.galois_element(st) == 1
+               for st in eng.giant_steps), eng.giant_steps
+    rng = np.random.default_rng(5)
+    d0 = rng.normal(0, 0.5, s)
+    d1 = rng.normal(0, 0.5, s)
+    x = rng.normal(0, 1, s)
+    pt = eng.load(eng.encode_table({0: d0, s // 2: d1}), ctx.L)
+    y = eng(ctx.encrypt(x), pt)
+    want = d0 * x + d1 * np.roll(x, -(s // 2))
+    got = ctx.decrypt_vec(y)
+    np.testing.assert_allclose(got, want, atol=5e-3)

@@ -93,3 +93,21 @@ def test_automorphism(g):
     perm = tuple(automorphism_perm(n, g).tolist())
     got = _auto(ctx, jnp.asarray(a.astype(np.uint32)), perm)
     np.testing.assert_array_equal(np.asarray(got), ag.astype(np.uint32))
+
+
+@pytest.mark.parametrize("n", [256, 4096])
+def test_shoup_matches_mont_tables(n):
+    """The Shoup-multiplication transforms (ntt/intt) are bitwise-equal
+    to the Montgomery-table implementations preserved in ntt_t/intt_t
+    (the shard_map table-passing forms)."""
+    ctx = make_ctx(n, 4)
+    rng = np.random.default_rng(4)
+    p_np = np.array([q.p for q in ctx.primes], dtype=np.uint64)
+    x = jnp.asarray(rng.integers(0, p_np[:, None],
+                                 size=(4, n)).astype(np.uint32))
+    f = functools.partial(jax.jit, static_argnums=0)(
+        lambda c, v: (c.ntt(v), NttContext.ntt_t(v, c.tables()),
+                      c.intt(v), NttContext.intt_t(v, c.tables())))
+    fwd_s, fwd_m, inv_s, inv_m = f(ctx, x)
+    np.testing.assert_array_equal(np.asarray(fwd_s), np.asarray(fwd_m))
+    np.testing.assert_array_equal(np.asarray(inv_s), np.asarray(inv_m))

@@ -53,4 +53,25 @@ if [ "$PHASE" = long ]; then
     BENCH_BOOTSTRAP=1 BENCH_PASSES=2 python bench_fully_enc.py
 fi
 
+if [ "$PHASE" = long2 ]; then
+  # memory-safe re-runs after the fe19/fe24boot HBM postmortem
+  # (docs/NOTES_r3.md): chunked keygen + xs-stack eviction + baby/giant
+  # chunk knobs; fe19 at N=8192 (the 59-limb key/stack footprint at
+  # N=16384 exceeds one v5e's HBM — ring noted in the artifact)
+  STEP_TIMEOUT=14400 \
+  step boot16k BENCH_N=16384 BENCH_LIMBS=40 BENCH_SPECIAL=4 BENCH_DNUM=10 \
+    BENCH_RADIX=4 BENCH_WIDTH=2 BENCH_EXP_DEGREE=27 BENCH_MARGIN_BITS=3 \
+    python bench_bootstrap.py
+  STEP_TIMEOUT=14400 \
+  step fe19 BENCH_D=2048 BENCH_F=8192 BENCH_N=8192 BENCH_BLOCKS=19 \
+    BENCH_PASSES=2 FHE_GIANT_CHUNK=4 FHE_BABY_CHUNK=16 \
+    python bench_fully_enc.py
+  STEP_TIMEOUT=14400 \
+  step fe24boot BENCH_D=2048 BENCH_F=8192 BENCH_N=16384 BENCH_BLOCKS=24 \
+    BENCH_BOOTSTRAP=1 BENCH_PASSES=2 FHE_GIANT_CHUNK=4 FHE_BABY_CHUNK=16 \
+    python bench_fully_enc.py
+  step dev_streams4 BENCH_MODE=device BENCH_BLOCKS=24 BENCH_STREAMS=4 \
+    BENCH_TOKENS=2 python bench_streams.py
+fi
+
 echo "runbook phase $PHASE done $(date +%H:%M:%S)" >&2
