@@ -89,11 +89,19 @@ def main():
 
     # --- calibrate + pre-encode (cached) ----------------------------------
     t0 = time.perf_counter()
-    w_keys, w_vals = calibrate_magnitude(w_keys, w_vals, x0)
-    log(f"magnitude calibration ({time.perf_counter() - t0:.1f}s)")
+    # BENCH_TARGET_MAG > 1 trades decrypt headroom (2-limb CRT: ~2^30 x
+    # scale) for signal-to-noise: CKKS noise is absolute, so running the
+    # chain at magnitude m divides every relative error by m.  4 is the
+    # int32-encode-safe maximum (coefficients m * 2^28 < 2^31).
+    tmag = float(os.environ.get("BENCH_TARGET_MAG", "1.0"))
+    w_keys, w_vals = calibrate_magnitude(w_keys, w_vals, x0,
+                                         target_mag=tmag)
+    log(f"magnitude calibration (target {tmag}, "
+        f"{time.perf_counter() - t0:.1f}s)")
 
     eng = FullyEncryptedFfn(ctx, d, f, seq_chunks=True, stage_mode="i32")
-    cache = f"/tmp/fe_preenc_{d}_{f}_{blocks}_{n}"
+    cache = f"/tmp/fe_preenc_{d}_{f}_{blocks}_{n}" + (
+        f"_m{tmag:g}" if tmag != 1.0 else "")
     t0 = time.perf_counter()
     hosts = pre_encode_blocks(eng, w_keys, w_vals, cache_dir=cache,
                               log_fn=log)

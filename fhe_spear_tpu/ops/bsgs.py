@@ -151,9 +151,12 @@ class BsgsMatvec:
         an unbounded cache OOMs the chip (round-3 fe19 postmortem).
         Re-stacking an evicted level costs one device gather."""
         if l not in self._xs_cache:
+            import os
+
             ctx = self.ctx
             n = ctx.n
-            while len(self._xs_cache) >= 2:
+            cap = max(1, int(os.environ.get("FHE_XS_CACHE", "2")))
+            while len(self._xs_cache) >= cap:
                 self._xs_cache.pop(next(iter(self._xs_cache)))
 
             # stacking runs jitted: eager concatenate dispatches are

@@ -64,11 +64,11 @@ if [ "$PHASE" = long2 ]; then
     python bench_bootstrap.py
   STEP_TIMEOUT=14400 \
   step fe19 BENCH_D=2048 BENCH_F=8192 BENCH_N=8192 BENCH_BLOCKS=19 \
-    BENCH_PASSES=2 FHE_GIANT_CHUNK=4 FHE_BABY_CHUNK=16 \
+    BENCH_PASSES=2 FHE_GIANT_CHUNK=4 FHE_BABY_CHUNK=16 FHE_XS_CACHE=1 \
     python bench_fully_enc.py
   STEP_TIMEOUT=14400 \
   step fe24boot BENCH_D=2048 BENCH_F=8192 BENCH_N=16384 BENCH_BLOCKS=24 \
-    BENCH_BOOTSTRAP=1 BENCH_PASSES=2 FHE_GIANT_CHUNK=4 FHE_BABY_CHUNK=16 \
+    BENCH_BOOTSTRAP=1 BENCH_PASSES=2 FHE_GIANT_CHUNK=4 FHE_BABY_CHUNK=16 FHE_XS_CACHE=1 \
     python bench_fully_enc.py
   step dev_streams4 BENCH_MODE=device BENCH_BLOCKS=24 BENCH_STREAMS=4 \
     BENCH_TOKENS=2 python bench_streams.py
