@@ -283,56 +283,57 @@ class NttContext:
         x = x.reshape(lead + (R, n))
         return mont_mul(x, tb["psi_inv_n"], p, pinv)
 
-    def ntt(self, x: jnp.ndarray, rows=None) -> jnp.ndarray:
-        """Forward negacyclic NTT.  x: [..., R, N] Mont -> [..., R, N] Mont.
+    # NOTE (round-3, measured): the Shoup/Harvey constant-multiplication
+    # form (modops.shoup_mul + the *_w/*_ws tables below) has ~40% fewer
+    # VPU multiplies per twiddle product, but the END-TO-END token got
+    # 11% SLOWER on v5e (9.34 -> 10.42 s) when ntt/intt/to_mont used it —
+    # the Montgomery chain evidently lowers/fuses better (shared 16-bit
+    # operand splits, one table stream per stage instead of two).  The
+    # transforms therefore stay on mont_mul; shoup tables remain for
+    # kernels that can exploit them (and as the measured record).
 
-        Twist and stage twiddles are constants, so every multiply runs as
-        a Shoup product (modops.shoup_mul) — ~40% fewer VPU multiplies
-        than the Montgomery form, bitwise-identical output."""
-        from .modops import shoup_mul, add_mod, sub_mod
+    def ntt(self, x: jnp.ndarray, rows=None) -> jnp.ndarray:
+        """Forward negacyclic NTT.  x: [..., R, N] Mont -> [..., R, N] Mont."""
+        from .modops import mont_mul, add_mod, sub_mod
 
         lead = x.shape[:-2]
         R, n = x.shape[-2:]
-        p = self._sel(self.p, rows)
-        p3 = p[:, :, None]
-        x = shoup_mul(x, self._sel(self.psi_w, rows),
-                      self._sel(self.psi_ws, rows), p)
+        p, pinv = self._sel(self.p, rows), self._sel(self.pinv, rows)
+        p3, pinv3 = p[:, :, None], pinv[:, :, None]
+        x = mont_mul(x, self._sel(self.psi, rows), p, pinv)
         x = x.reshape(lead + (R, 1, n))
         for s in range(self.logn):
             half = n >> (s + 1)
             lo, hi = x[..., :half], x[..., half:]
             u = add_mod(lo, hi, p3)
-            v = shoup_mul(sub_mod(lo, hi, p3),
-                          self._sel(self.fwd_tw_w[s], rows),
-                          self._sel(self.fwd_tw_ws[s], rows), p3)
+            tw = self._sel(self.fwd_tw[s], rows)
+            v = mont_mul(sub_mod(lo, hi, p3), tw, p3, pinv3)
             x = jnp.stack([u, v], axis=-2).reshape(lead + (R, 2 << s, half))
         return x.reshape(lead + (R, n))
 
     def intt(self, y: jnp.ndarray, rows=None) -> jnp.ndarray:
         """Inverse negacyclic NTT.  y: [..., R, N] Mont -> [..., R, N] Mont."""
-        from .modops import shoup_mul, add_mod, sub_mod
+        from .modops import mont_mul, add_mod, sub_mod
 
         lead = y.shape[:-2]
         R, n = y.shape[-2:]
-        p = self._sel(self.p, rows)
-        p3 = p[:, :, None]
+        p, pinv = self._sel(self.p, rows), self._sel(self.pinv, rows)
+        p3, pinv3 = p[:, :, None], pinv[:, :, None]
         x = y.reshape(lead + (R, n, 1))
         for s in range(self.logn - 1, -1, -1):
             half = n >> (s + 1)
             x = x.reshape(lead + (R, 1 << s, 2, half))
             u, v = x[..., 0, :], x[..., 1, :]
-            t = shoup_mul(v, self._sel(self.inv_tw_w[s], rows),
-                          self._sel(self.inv_tw_ws[s], rows), p3)
+            t = mont_mul(v, self._sel(self.inv_tw[s], rows), p3, pinv3)
             x = jnp.concatenate([add_mod(u, t, p3), sub_mod(u, t, p3)], axis=-1)
         x = x.reshape(lead + (R, n))
-        return shoup_mul(x, self._sel(self.psiinv_w, rows),
-                         self._sel(self.psiinv_ws, rows), p)
+        return mont_mul(x, self._sel(self.psi_inv_n, rows), p, pinv)
 
     def to_mont(self, x: jnp.ndarray, rows=None) -> jnp.ndarray:
-        from .modops import shoup_mul
+        from .modops import mont_mul
 
-        return shoup_mul(x, self._sel(self.r1_w, rows),
-                         self._sel(self.r1_ws, rows), self._sel(self.p, rows))
+        return mont_mul(x, self._sel(self.r2, rows), self._sel(self.p, rows),
+                        self._sel(self.pinv, rows))
 
     def from_mont(self, x: jnp.ndarray, rows=None) -> jnp.ndarray:
         from .modops import mont_reduce_wide

@@ -96,18 +96,20 @@ def test_automorphism(g):
 
 
 @pytest.mark.parametrize("n", [256, 4096])
-def test_shoup_matches_mont_tables(n):
-    """The Shoup-multiplication transforms (ntt/intt) are bitwise-equal
-    to the Montgomery-table implementations preserved in ntt_t/intt_t
-    (the shard_map table-passing forms)."""
+def test_shoup_mul_matches_mont(n):
+    """shoup_mul (Harvey constant multiplication) is bitwise-equal to
+    mont_mul with the Montgomery-form constant.  (The transforms stay on
+    mont_mul — measured faster end-to-end on v5e, see core/ntt.py note —
+    but the shoup tables/primitive remain available and verified.)"""
+    from fhe_spear_tpu.core.modops import shoup_mul, mont_mul
+
     ctx = make_ctx(n, 4)
     rng = np.random.default_rng(4)
     p_np = np.array([q.p for q in ctx.primes], dtype=np.uint64)
-    x = jnp.asarray(rng.integers(0, p_np[:, None],
+    a = jnp.asarray(rng.integers(0, p_np[:, None],
                                  size=(4, n)).astype(np.uint32))
     f = functools.partial(jax.jit, static_argnums=0)(
-        lambda c, v: (c.ntt(v), NttContext.ntt_t(v, c.tables()),
-                      c.intt(v), NttContext.intt_t(v, c.tables())))
-    fwd_s, fwd_m, inv_s, inv_m = f(ctx, x)
-    np.testing.assert_array_equal(np.asarray(fwd_s), np.asarray(fwd_m))
-    np.testing.assert_array_equal(np.asarray(inv_s), np.asarray(inv_m))
+        lambda c, v: (shoup_mul(v, c.psi_w, c.psi_ws, c.p),
+                      mont_mul(v, c.psi, c.p, c.pinv)))
+    got, want = f(ctx, a)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
