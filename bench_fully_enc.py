@@ -44,7 +44,7 @@ def main():
     from fhe_spear_tpu.ckks import CkksContext, CkksParams
     from fhe_spear_tpu.models.fully_encrypted import (
         FullyEncryptedFfn, calibrate_magnitude, run_fully_encrypted,
-        pre_encode_blocks)
+        pre_encode_blocks, fe_level_schedule)
 
     # --- parameters -------------------------------------------------------
     if use_boot:
@@ -102,9 +102,16 @@ def main():
     eng = FullyEncryptedFfn(ctx, d, f, seq_chunks=True, stage_mode="i32")
     cache = f"/tmp/fe_preenc_{d}_{f}_{blocks}_{n}" + (
         f"_m{tmag:g}" if tmag != 1.0 else "")
+    # exact-alignment encode levels (diagonals are level-specific so the
+    # block output scale equals its input scale exactly — no relabel error).
+    # For bootstrap runs the refresh output level is set via
+    # BENCH_BOOT_LEVEL (a wrong guess self-corrects: the runner re-encodes
+    # on mismatch and later passes hit steady state).
+    boot_lv = int(os.environ.get("BENCH_BOOT_LEVEL", "0")) or None
+    levels = fe_level_schedule(limbs, blocks, boot_level=boot_lv)
     t0 = time.perf_counter()
     hosts = pre_encode_blocks(eng, w_keys, w_vals, cache_dir=cache,
-                              log_fn=log)
+                              log_fn=log, levels=levels)
     log(f"pre-encode ({time.perf_counter() - t0:.1f}s)")
 
     if os.environ.get("BENCH_PREP_ONLY") == "1":

@@ -92,20 +92,46 @@ class FullyEncryptedFfn:
         self.seq_chunks = seq_chunks
         self.stage_mode = stage_mode
 
-    def encode_block(self, w_key: np.ndarray, w_val: np.ndarray) -> dict:
-        """Host pre-encode: chunked key/value diagonal stacks (int32)."""
+    def diag_scales(self, level: int) -> tuple[float, float]:
+        """Exact scale management (the 28-bit-prime analogue of the
+        reference's free 59-bit scale slack): encoding the key diagonals at
+        s_key = q[l-1] and the value diagonals at s_val = q[l-2]*q[l-3]/Delta
+        makes the block's output scale equal its input scale EXACTLY
+        (s_fk = s_x, s_sq = s_x^2/q[l-2], s_fv = s_x^2/Delta = s_x for
+        s_x = Delta), so the residual add needs no scale relabel.  With
+        level-agnostic Delta encodes, the relabel injects a
+        signal-proportional ~|q_i/Delta - 1| ~ 3e-2 error per block — the
+        round-3 fe19 numerics gap (docs/NOTES_r3.md)."""
+        q = self.ctx.q_np
+        s_key = float(q[level - 1])
+        s_val = float(q[level - 2]) * float(q[level - 3]) / self.ctx.scale
+        return s_key, s_val
+
+    def encode_block(self, w_key: np.ndarray, w_val: np.ndarray,
+                     level: int | None = None) -> dict:
+        """Host pre-encode: chunked key/value diagonal stacks (int32).
+
+        With `level` (the level this block will be CONSUMED at), diagonals
+        are encoded at the exact-alignment scales of `diag_scales`;
+        without, at Delta (legacy, relabel error ~3e-2/block)."""
         d, enc = self.d, self.eng.encode
+        s_key = s_val = None
+        if level is not None:
+            s_key, s_val = self.diag_scales(level)
         key_mats, val_mats = [], []
         for c in range(self.n_chunks):
             mk = np.zeros((d, d))
             cols = w_key[:, c * d: (c + 1) * d].T
             mk[: cols.shape[0]] = cols
-            key_mats.append(enc(mk).coeffs)
+            key_mats.append(enc(mk, s_key).coeffs)
             mv = np.zeros((d, d))
             rows = w_val[c * d: (c + 1) * d, :].T
             mv[:, : rows.shape[1]] = rows
-            val_mats.append(enc(mv).coeffs)
-        return {"key": np.stack(key_mats), "val": np.stack(val_mats)}
+            val_mats.append(enc(mv, s_val).coeffs)
+        out = {"key": np.stack(key_mats), "val": np.stack(val_mats)}
+        if level is not None:
+            out["level"] = level
+        return out
 
     def load_block(self, host: dict, level: int) -> dict:
         """Stage one block's diagonals at the levels they are consumed:
@@ -113,30 +139,50 @@ class FullyEncryptedFfn:
         coefficients unchanged; kernels expand per giant group)."""
         ctx = self.ctx
         if self.stage_mode == "i32":
-            return {"key": jnp.asarray(host["key"]),
-                    "val": jnp.asarray(host["val"])}
-        return {"key": _load_coeffs(ctx, jnp.asarray(host["key"]), level),
-                "val": _load_coeffs(ctx, jnp.asarray(host["val"]), level - 2)}
+            out = {"key": jnp.asarray(host["key"]),
+                   "val": jnp.asarray(host["val"])}
+        else:
+            out = {"key": _load_coeffs(ctx, jnp.asarray(host["key"]), level),
+                   "val": _load_coeffs(ctx, jnp.asarray(host["val"]),
+                                       level - 2)}
+        if "level" in host:
+            out["level"] = int(host["level"])
+        return out
 
     def __call__(self, ct_x: Ciphertext, staged: dict) -> Ciphertext:
         """One fully-encrypted block; level l -> l-3."""
         ctx, l = self.ctx, ct_x.level
         assert l >= 4, f"need >= 4 limbs, have {l} (bootstrap first)"
         q = ctx.q_np
+        exact = "level" in staged
+        if exact:
+            assert staged["level"] == l, (
+                f"block diagonals encoded for level {staged['level']} but "
+                f"consumed at level {l} — re-encode (exact scale management)")
+            s_key, s_val = self.diag_scales(l)
+        else:
+            s_key = s_val = ctx.scale
         # 1. key projection (shared input, batched chunks)
         fk = self._shared(l)(ct_x.c, staged["key"])          # [k, 2, l-1, N]
-        s_fk = ct_x.scale * ctx.scale / float(q[l - 1])
+        s_fk = ct_x.scale * s_key / float(q[l - 1])
         # 2. square (batched multiply + relin + rescale)
         sq = Ciphertext(fk, s_fk)
         sq = ctx.rescale(ctx.multiply(sq, sq))               # [k, 2, l-2, N]
         # 3. value projection (batched chunks) + modular tree-sum
         fv = self._batched(l - 2)(sq.c, staged["val"])       # [k, 2, l-3, N]
-        s_fv = sq.scale * ctx.scale / float(q[l - 3])
+        s_fv = sq.scale * s_val / float(q[l - 3])
         v = self._sum_chunks(l - 3)(fv)
-        # 4. residual: align level + scale, add
+        # 4. residual: align level + scale, add.  In exact mode the true
+        # scales are EQUAL by construction (s_fv = s_x^2/Delta = s_x under
+        # the chain invariant s_x = Delta; after a bootstrap retag the gap
+        # is the retag fuzz <= 1e-4, once) — set_scale only unifies float
+        # bookkeeping.  In legacy mode it relabels a genuinely different
+        # scale: ~3e-2 signal-proportional error per block.
         x_al = ctx.mod_drop(ct_x, 3)
-        v_ct = ctx.set_scale(Ciphertext(v, s_fv), x_al.scale)
-        return ctx.add(x_al, v_ct)
+        tgt = s_fv if exact else x_al.scale
+        v_ct = ctx.set_scale(Ciphertext(v, s_fv), tgt)
+        x_sc = x_al if x_al.scale == tgt else ctx.set_scale(x_al, tgt)
+        return ctx.add(x_sc, v_ct)
 
     @functools.lru_cache(maxsize=None)
     def _shared(self, l):
@@ -175,29 +221,57 @@ class FullyEncryptedFfn:
         return jax.jit(f)
 
 
+def fe_level_schedule(start_level: int, n_blocks: int, min_levels: int = 4,
+                      boot_level: int | None = None) -> list[int | None]:
+    """Per-block CONSUME levels for a chain starting at `start_level`
+    (3 limbs/block; refresh to `boot_level` when fewer than `min_levels`+1
+    remain).  Use to pre-encode blocks at exact-alignment scales.  Without
+    boot_level, blocks past exhaustion get None (never reached)."""
+    lv, out = start_level, []
+    for _ in range(n_blocks):
+        if lv - 1 < min_levels:
+            if boot_level is None:
+                out.append(None)
+                continue
+            lv = boot_level
+        out.append(lv)
+        lv -= 3
+    return out
+
+
 def pre_encode_blocks(eng: "FullyEncryptedFfn", w_keys, w_vals,
-                      cache_dir: str | None = None, log_fn=None):
+                      cache_dir: str | None = None, log_fn=None,
+                      levels: list | None = None):
     """Host pre-encode of every block's diagonal plaintexts (the
     reference's pre_encode_block + CPU offload, SURVEY.md C8;
     scripts/bootstrap_generation.py:265-358).  With cache_dir set, each
     block is persisted as raw mmap-able .npy files (npz CRC passes are
-    disk-bound on this host — docs/NOTES_r1.md)."""
+    disk-bound on this host — docs/NOTES_r1.md).
+
+    levels: per-block consume levels (fe_level_schedule) — encodes at the
+    exact-alignment scales of FullyEncryptedFfn.diag_scales; entries of
+    None fall back to level-agnostic Delta encodes."""
     import os
 
     hosts = []
     for b, (wk, wv) in enumerate(zip(w_keys, w_vals)):
+        lv = levels[b] if levels is not None else None
+        tag = f"block{b:03d}" + (f"_l{lv}" if lv is not None else "")
         if cache_dir:
-            bdir = os.path.join(cache_dir, f"block{b:03d}")
+            bdir = os.path.join(cache_dir, tag)
             kf, vf = (os.path.join(bdir, "key.npy"),
                       os.path.join(bdir, "val.npy"))
             if os.path.exists(kf) and os.path.exists(vf):
-                hosts.append({"key": np.load(kf, mmap_mode="r"),
-                              "val": np.load(vf, mmap_mode="r")})
+                host = {"key": np.load(kf, mmap_mode="r"),
+                        "val": np.load(vf, mmap_mode="r")}
+                if lv is not None:
+                    host["level"] = lv
+                hosts.append(host)
                 continue
         t0 = time.perf_counter()
-        host = eng.encode_block(np.asarray(wk), np.asarray(wv))
+        host = eng.encode_block(np.asarray(wk), np.asarray(wv), level=lv)
         if cache_dir:
-            bdir = os.path.join(cache_dir, f"block{b:03d}")
+            bdir = os.path.join(cache_dir, tag)
             os.makedirs(bdir, exist_ok=True)
             np.save(os.path.join(bdir, "key.npy"), host["key"])
             np.save(os.path.join(bdir, "val.npy"), host["val"])
@@ -251,8 +325,22 @@ def run_fully_encrypted(ctx: CkksContext, w_keys, w_vals, x0,
                 say(f"  bootstrap before block {b}: "
                     f"{time.perf_counter() - t0:.2f}s -> level {ct.level}")
         t0 = time.perf_counter()
-        host = (pre_encoded[b] if pre_encoded is not None
-                else eng.encode_block(np.asarray(wk), np.asarray(wv)))
+        if pre_encoded is not None:
+            host = pre_encoded[b]
+            if host.get("level") != ct.level:
+                # encoded for a different (or no) consume level — e.g. a
+                # bootstrap landed at an unplanned level.  Re-encode at the
+                # exact scales and stash so later passes hit steady state.
+                if say:
+                    say(f"  block {b}: re-encode for level {ct.level} "
+                        f"(pre-encoded for {host.get('level')})")
+                host = eng.encode_block(np.asarray(w_keys[b]),
+                                        np.asarray(w_vals[b]),
+                                        level=ct.level)
+                pre_encoded[b] = host
+        else:
+            host = eng.encode_block(np.asarray(wk), np.asarray(wv),
+                                    level=ct.level)
         ct = eng(ct, eng.load_block(host, ct.level))
         jax.block_until_ready(ct.c)
         dt = time.perf_counter() - t0
@@ -330,21 +418,44 @@ class FullyEncryptedTimeMix:
         r = 0.25 * (x @ w_r) + 0.5
         return x + ((r * (x @ w_k)) * (x @ w_v)) @ w_o
 
-    def encode_block(self, w_r, w_k, w_v, w_o):
+    def diag_scales(self, level: int) -> tuple[float, float]:
+        """Exact scale management (see FullyEncryptedFfn.diag_scales): with
+        s_rkv = q[l-1] and s_o = q[l-2]*q[l-3]*q[l-4]/Delta^2 the output
+        scale equals the input scale exactly (out = s_x^4/Delta^3 = s_x at
+        the chain invariant s_x = Delta) — no relabel error."""
+        q = self.ctx.q_np
+        s_rkv = float(q[level - 1])
+        s_o = (float(q[level - 2]) * float(q[level - 3]) *
+               float(q[level - 4]) / (self.ctx.scale * self.ctx.scale))
+        return s_rkv, s_o
+
+    def encode_block(self, w_r, w_k, w_v, w_o, level: int | None = None):
         enc = self.eng.encode
-        return {"rkv": np.stack([enc(0.25 * w_r.T).coeffs,
-                                 enc(w_k.T).coeffs, enc(w_v.T).coeffs]),
-                "o": enc(w_o.T).coeffs}
+        s_rkv, s_o = ((None, None) if level is None
+                      else self.diag_scales(level))
+        out = {"rkv": np.stack([enc(0.25 * w_r.T, s_rkv).coeffs,
+                                enc(w_k.T, s_rkv).coeffs,
+                                enc(w_v.T, s_rkv).coeffs]),
+               "o": enc(w_o.T, s_o).coeffs}
+        if level is not None:
+            out["level"] = level
+        return out
 
     def __call__(self, ct_x: Ciphertext, host: dict) -> Ciphertext:
         ctx, l = self.ctx, ct_x.level
         assert l >= 5, f"need >= 5 limbs, have {l}"
         q = ctx.q_np
+        exact = "level" in host
+        if exact:
+            assert host["level"] == l, (host["level"], l)
+            s_rkv, s_o = self.diag_scales(l)
+        else:
+            s_rkv = s_o = ctx.scale
         pt3 = _load_coeffs(ctx, jnp.asarray(host["rkv"]), l)
         raw = self.eng._kernel_raw(l)
         kern = jax.jit(jax.vmap(raw, in_axes=(None, 0) + (None,) * 6))
         rkv = kern(ct_x.c, pt3, *self.eng._xs(l))       # [3, 2, l-1, N]
-        s1 = ct_x.scale * ctx.scale / float(q[l - 1])
+        s1 = ct_x.scale * s_rkv / float(q[l - 1])
         r = Ciphertext(rkv[0], s1)
         k = Ciphertext(rkv[1], s1)
         v = Ciphertext(rkv[2], s1)
@@ -356,6 +467,7 @@ class FullyEncryptedTimeMix:
         rkv_ct = ctx.rescale(ctx.multiply(rk, ctx.mod_switch_to(v, rk.level)))
         # W_o projection at l-3 -> l-4
         pto = _load_coeffs(ctx, jnp.asarray(host["o"]), rkv_ct.level)
-        out = self.eng(rkv_ct, pto)
+        out = self.eng(rkv_ct, pto, pt_scale=s_o)
         x_al = ctx.mod_switch_to(ct_x, out.level)
-        return ctx.add(x_al, ctx.set_scale(out, x_al.scale))
+        tgt = out.scale if exact else x_al.scale
+        return ctx.add(ctx.set_scale(x_al, tgt), ctx.set_scale(out, tgt))

@@ -89,13 +89,26 @@ def test_deep_chain_i32_dnum():
     x0 = rng.normal(0, 0.1, d)
     wk_c, wv_c = calibrate_magnitude(wk, wv, x0)
     eng = FullyEncryptedFfn(ctx, d, f, seq_chunks=True, stage_mode="i32")
-    hosts = pre_encode_blocks(eng, wk_c, wv_c)
+    from fhe_spear_tpu.models.fully_encrypted import fe_level_schedule
+    levels = fe_level_schedule(ctx.L, nb)
+    assert levels == [11, 8, 5]
+    hosts = pre_encode_blocks(eng, wk_c, wv_c, levels=levels)
     stats = run_fully_encrypted(ctx, wk_c, wv_c, x0, pre_encoded=hosts,
                                 eng=eng, calibrated=True, verbose=False)
     assert len(stats) == nb
     for s in stats:
-        assert s["corr"] > 0.999, stats
-        assert s["max_err"] < 1e-2, stats
+        # exact scale management: absolute CKKS noise only (the legacy
+        # level-agnostic encodes relabel ~3e-2 of signal per block)
+        assert s["corr"] > 0.99999, stats
+        assert s["max_err"] < 1e-4, stats
+
+    # mis-leveled pre-encodes self-correct (re-encode-on-mismatch)
+    hosts_bad = pre_encode_blocks(eng, wk_c, wv_c, levels=[11, 9, 5])
+    stats2 = run_fully_encrypted(ctx, wk_c, wv_c, x0, pre_encoded=hosts_bad,
+                                 eng=eng, calibrated=True, verbose=False)
+    assert hosts_bad[1]["level"] == 8
+    for s in stats2:
+        assert s["max_err"] < 1e-4, stats2
 
 
 def test_timemix_block():
@@ -114,3 +127,8 @@ def test_timemix_block():
     corr = np.corrcoef(got, want)[0, 1]
     assert corr > 0.999, corr
     np.testing.assert_allclose(got, want, atol=5e-3)
+
+    # exact scale management (level-aware encodes): absolute noise only
+    out_e = eng(ct, eng.encode_block(*w, level=ct.level))
+    got_e = ctx.decrypt_vec(out_e, d)
+    np.testing.assert_allclose(got_e, want, atol=2e-4)
