@@ -110,3 +110,30 @@ def test_sharded_bsgs_mxu_backend():
     x = rng.normal(0, 1, d)
     y = eng(ctx2.encrypt_replicated(x), eng.load(eng.encode(w), ctx2.L))
     np.testing.assert_allclose(ctx2.decrypt_vec(y, d), w @ x, atol=5e-3)
+
+
+def test_sharded_fully_encrypted_chain():
+    """Fully-encrypted FFN blocks with giant-sharded projections: a 3-block
+    chain on the 8-device mesh matches the plaintext oracle at the exact-
+    scale-management noise floor (the multi-chip path that removes the
+    single-v5e HBM ceiling of the N=16384/L=59 chain, docs/NOTES_r3.md)."""
+    from fhe_spear_tpu.models.fully_encrypted import calibrate_magnitude
+    from fhe_spear_tpu.parallel.sharded_fully_enc import (
+        ShardedFullyEncryptedFfn)
+
+    ctx = CkksContext(CkksParams(n=256, num_limbs=11, num_special=2),
+                      seed=47)
+    d, f, nb = 64, 128, 3
+    mesh = Mesh(np.array(jax.devices()), ("giant",))
+    eng = ShardedFullyEncryptedFfn(ctx, d, f, mesh)
+    rng = np.random.default_rng(23)
+    wk = [rng.normal(0, 0.02, (d, f)) for _ in range(nb)]
+    wv = [rng.normal(0, 0.02, (f, d)) for _ in range(nb)]
+    x0 = rng.normal(0, 0.1, d)
+    wk_c, wv_c = calibrate_magnitude(wk, wv, x0)
+    stats, _ = eng.run_chain(wk_c, wv_c, x0)
+    assert len(stats) == nb
+    assert stats[-1]["level"] == 11 - 9
+    for s in stats:
+        assert s["corr"] > 0.99999, stats
+        assert s["max_err"] < 2e-4, stats
