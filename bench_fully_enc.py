@@ -100,7 +100,14 @@ def main():
         f"{time.perf_counter() - t0:.1f}s)")
 
     eng = FullyEncryptedFfn(ctx, d, f, seq_chunks=True, stage_mode="i32")
-    cache = f"/tmp/fe_preenc_{d}_{f}_{blocks}_{n}" + (
+    # exact-scale encodes depend on the context's prime chain, so the
+    # cache key carries a q-chain hash — a different BENCH_LIMBS/preset
+    # must never silently reuse another chain's diagonals (ADVICE r3 #4)
+    import hashlib
+
+    qh = hashlib.sha1(np.asarray(ctx.q_np, dtype=np.uint64).tobytes()
+                      ).hexdigest()[:10]
+    cache = f"/tmp/fe_preenc_{d}_{f}_{blocks}_{n}_q{qh}" + (
         f"_m{tmag:g}" if tmag != 1.0 else "")
     # exact-alignment encode levels (diagonals are level-specific so the
     # block output scale equals its input scale exactly — no relabel error).
@@ -137,7 +144,7 @@ def main():
         stats = run_fully_encrypted(
             ctx, w_keys, w_vals, x0, bootstrap_fn=boot_fn,
             pre_encoded=hosts, eng=eng, calibrated=True,
-            verbose=False, log_fn=log)
+            verbose=False, log_fn=log, cache_dir=cache)
         log(f"pass {ps}: {time.perf_counter() - t0:.1f}s total, "
             f"{len(stats)} blocks")
         all_stats.append(stats)

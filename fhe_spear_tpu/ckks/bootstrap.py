@@ -335,7 +335,9 @@ class Bootstrapper:
         wt = ctx.rescale(ctx.mul_scalar(s, 0.5 * gamma))
         if self.width > 1:
             # step back down from the wide EvalMod scale before the
-            # single-prime-matched SlotToCoeff stages
-            wt = ctx.scale_to(wt, ctx.scale)
+            # single-prime-matched SlotToCoeff stages.  exact: a <=1e-4
+            # retag here becomes a true-vs-tag deviation that compounds
+            # through every post-bootstrap CT-CT square (ADVICE r3 #1)
+            wt = ctx.scale_to(wt, ctx.scale, exact=True)
         # 6. SlotToCoeff
         return self._slot_to_coeff(wt)

@@ -682,14 +682,21 @@ class CkksContext:
         p, pinv = self._p(l)
         return jax.jit(lambda c, k: mont_mul(c, k, p, pinv))
 
-    def scale_to(self, x: Ciphertext, target: float | None = None
-                 ) -> Ciphertext:
+    def scale_to(self, x: Ciphertext, target: float | None = None,
+                 exact: bool = False) -> Ciphertext:
         """Normalize x to scale exactly `target` (default ctx.scale) by one
         adjusting scalar multiply + as many rescales as needed.  Used at
-        bootstrap stage boundaries where matrix/constant scales pile up."""
+        bootstrap stage boundaries where matrix/constant scales pile up.
+
+        exact=True narrows the retag shortcut from 1e-4 to float-ulp: a
+        1e-4 retag is one-shot fine, but a chain of CT-CT squares doubles
+        the true-vs-tag deviation per block, so exact-scale consumers
+        (the fully-encrypted chain's bootstrap boundary) must pay the
+        adjust multiply instead (ADVICE r3 #1)."""
         target = self.scale if target is None else target
-        if abs(x.scale - target) <= 1e-4 * target:
-            # retag: value error bounded by the relative scale gap (<1e-4)
+        tol = 1e-12 if exact else 1e-4
+        if abs(x.scale - target) <= tol * target:
+            # retag: value error bounded by the relative scale gap
             return Ciphertext(x.c, target)
         # pick k rescales so the adjusting factor is >= 2^20 (scalar
         # rounding error then <= 2^-21); works for x.scale below target

@@ -102,6 +102,7 @@ class FullyEncryptedFfn:
         level-agnostic Delta encodes, the relabel injects a
         signal-proportional ~|q_i/Delta - 1| ~ 3e-2 error per block — the
         round-3 fe19 numerics gap (docs/NOTES_r3.md)."""
+        assert level >= 4, f"consume level must be >= 4, got {level}"
         q = self.ctx.q_np
         s_key = float(q[level - 1])
         s_val = float(q[level - 2]) * float(q[level - 3]) / self.ctx.scale
@@ -286,7 +287,8 @@ def run_fully_encrypted(ctx: CkksContext, w_keys, w_vals, x0,
                         verbose: bool = True, return_ct: bool = False,
                         seq_chunks: bool = False, stage_mode: str = "expanded",
                         pre_encoded: list | None = None, eng=None,
-                        log_fn=None, calibrated: bool = False):
+                        log_fn=None, calibrated: bool = False,
+                        cache_dir: str | None = None):
     """Chain blocks with per-block plaintext verification (the reference's
     main loop, test_fully_enc_bsgs.py:238-298).  Returns per-block stats;
     with return_ct=True returns (stats, final_ciphertext) so a client-side
@@ -294,7 +296,12 @@ def run_fully_encrypted(ctx: CkksContext, w_keys, w_vals, x0,
 
     pre_encoded: optional pre_encode_blocks output — when given (with
     calibrated=True weights) encoding stays out of the per-block timing,
-    mirroring the reference's --preencoded mode."""
+    mirroring the reference's --preencoded mode.
+
+    cache_dir: the pre_encode_blocks cache directory — re-encodes forced
+    by an off-schedule bootstrap level are persisted back so future
+    processes don't re-pay the host encode inside the timed loop
+    (ADVICE r3 #2)."""
     d, f = np.asarray(w_keys[0]).shape
     if eng is None:
         eng = FullyEncryptedFfn(ctx, d, f, seq_chunks=seq_chunks,
@@ -320,6 +327,14 @@ def run_fully_encrypted(ctx: CkksContext, w_keys, w_vals, x0,
                 break
             t0 = time.perf_counter()
             ct = bootstrap_fn(ct)
+            # exact-mode blocks assume tag == true scale == ctx.scale; a
+            # refresh landing off-scale must be adjusted exactly (a retag
+            # deviation compounds through each block's CT-CT square —
+            # ADVICE r3 #1).  Within float-ulp, just clean the tag.
+            if abs(ct.scale - ctx.scale) > 1e-9 * ctx.scale:
+                ct = ctx.scale_to(ct, ctx.scale, exact=True)
+            else:
+                ct = ctx.set_scale(ct, ctx.scale)
             n_boot += 1
             if say:
                 say(f"  bootstrap before block {b}: "
@@ -329,14 +344,32 @@ def run_fully_encrypted(ctx: CkksContext, w_keys, w_vals, x0,
             host = pre_encoded[b]
             if host.get("level") != ct.level:
                 # encoded for a different (or no) consume level — e.g. a
-                # bootstrap landed at an unplanned level.  Re-encode at the
-                # exact scales and stash so later passes hit steady state.
-                if say:
-                    say(f"  block {b}: re-encode for level {ct.level} "
-                        f"(pre-encoded for {host.get('level')})")
-                host = eng.encode_block(np.asarray(w_keys[b]),
-                                        np.asarray(w_vals[b]),
-                                        level=ct.level)
+                # bootstrap landed at an unplanned level.  Load a persisted
+                # re-encode if a previous process already paid for it, else
+                # re-encode at the exact scales; stash both in memory and
+                # (cache_dir) on disk so later passes/processes hit steady
+                # state (ADVICE r3 #2).
+                import os
+
+                bdir = (os.path.join(cache_dir, f"block{b:03d}_l{ct.level}")
+                        if cache_dir else None)
+                if bdir and os.path.exists(os.path.join(bdir, "key.npy")):
+                    host = {"key": np.load(os.path.join(bdir, "key.npy"),
+                                           mmap_mode="r"),
+                            "val": np.load(os.path.join(bdir, "val.npy"),
+                                           mmap_mode="r"),
+                            "level": ct.level}
+                else:
+                    if say:
+                        say(f"  block {b}: re-encode for level {ct.level} "
+                            f"(pre-encoded for {host.get('level')})")
+                    host = eng.encode_block(np.asarray(w_keys[b]),
+                                            np.asarray(w_vals[b]),
+                                            level=ct.level)
+                    if bdir:
+                        os.makedirs(bdir, exist_ok=True)
+                        np.save(os.path.join(bdir, "key.npy"), host["key"])
+                        np.save(os.path.join(bdir, "val.npy"), host["val"])
                 pre_encoded[b] = host
         else:
             host = eng.encode_block(np.asarray(wk), np.asarray(wv),
@@ -423,6 +456,7 @@ class FullyEncryptedTimeMix:
         s_rkv = q[l-1] and s_o = q[l-2]*q[l-3]*q[l-4]/Delta^2 the output
         scale equals the input scale exactly (out = s_x^4/Delta^3 = s_x at
         the chain invariant s_x = Delta) — no relabel error."""
+        assert level >= 5, f"consume level must be >= 5, got {level}"
         q = self.ctx.q_np
         s_rkv = float(q[level - 1])
         s_o = (float(q[level - 2]) * float(q[level - 3]) *

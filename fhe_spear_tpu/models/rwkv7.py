@@ -340,11 +340,14 @@ def load_torch_model(path: str, d: int, f: int, n_blocks: int) -> RwkvModel:
             x_w=np64(w[b + "att.x_w"].squeeze()[:d]),
             x_a=np64(w[b + "att.x_a"].squeeze()[:d]),
             x_k_ffn=np64(w[b + "ffn.x_k"].squeeze()[:d]),
-            w0=np64(w[b + "att.w0"][:d]),
+            # w0/a0/v0 are stored (1,1,C) in real RWKV-7 checkpoints (the
+            # reference squeezes every tensor globally in load_weights,
+            # fhe_rwkv_inference.py:19-26); squeeze before truncation
+            w0=np64(w[b + "att.w0"].squeeze()[:d]),
             w1=np64(w[b + "att.w1"][:d, :]), w2=np64(w[b + "att.w2"][:, :d]),
-            a0=np64(w[b + "att.a0"][:d]),
+            a0=np64(w[b + "att.a0"].squeeze()[:d]),
             a1=np64(w[b + "att.a1"][:d, :]), a2=np64(w[b + "att.a2"][:, :d]),
-            v0=np64(w[b + "att.v0"][:d]) if has_v else np.zeros(d),
+            v0=np64(w[b + "att.v0"].squeeze()[:d]) if has_v else np.zeros(d),
             v1=np64(w[b + "att.v1"][:d, :]) if has_v else np.zeros((d, 64)),
             v2=np64(w[b + "att.v2"][:, :d]) if has_v else np.zeros((64, d)),
             g1=np64(w[b + "att.g1"][:d, :]), g2=np64(w[b + "att.g2"][:, :d]),

@@ -13,6 +13,7 @@ import numpy as np
 
 __all__ = ["save_ciphertext", "load_ciphertext", "save_secret_key",
            "load_secret_key", "load_secret_key_into",
+           "save_eval_keys", "load_eval_keys",
            "save_generation_state", "load_generation_state"]
 
 
@@ -65,6 +66,74 @@ def load_secret_key_into(path: str, ctx) -> None:
     z = np.load(path)
     assert int(z["n"]) == ctx.n
     ctx.set_secret_key(z["sk"])
+
+
+def save_eval_keys(path: str, ctx) -> None:
+    """Persist the server's evaluation-key material: the relinearization
+    key, every generated Galois rotation key, and (if built) the identity
+    keyswitch key.  Deliberately EXCLUDES the secret key — this is the
+    bundle a restarting evaluation server loads; it confers no decryption
+    capability (the sk-separation discipline of save_secret_key).
+
+    The reference has no counterpart (its keys live in GPU memory for the
+    process lifetime, SURVEY.md §5 "Checkpoint/resume: none"); this
+    framework's client/server transport (70.8 MB/token wire accounting)
+    needs the server side restartable.
+
+    Format: uncompressed .npz — keyswitch keys are uniform-random residue
+    tensors, incompressible; savez_compressed would burn minutes of CPU
+    for ~0% gain at production sizes (~6 GB of keys at N=16384/L=59)."""
+    arrs = {
+        "relin_b": np.asarray(ctx.relin_key.b),
+        "relin_a": np.asarray(ctx.relin_key.a),
+        "galois_elts": np.asarray(sorted(ctx.galois_keys), dtype=np.int64),
+        "n": np.int64(ctx.n), "L": np.int64(ctx.L), "K": np.int64(ctx.K),
+        "dnum": np.int64(ctx.dnum),
+        "order": np.bytes_(getattr(ctx.ntt, "order", "stockham").encode()),
+    }
+    for g in sorted(ctx.galois_keys):
+        k = ctx.galois_keys[g]
+        arrs[f"gk{g}_b"] = np.asarray(k.b)
+        arrs[f"gk{g}_a"] = np.asarray(k.a)
+    if hasattr(ctx, "_identity_ksk"):
+        arrs["id_b"] = np.asarray(ctx._identity_ksk.b)
+        arrs["id_a"] = np.asarray(ctx._identity_ksk.a)
+    np.savez(path, **arrs)
+
+
+def load_eval_keys(path: str, ctx) -> None:
+    """Install a saved evaluation-key bundle on a context built with the
+    SAME params (the context's own random secret/relin key are replaced;
+    an sk-less server context evaluates bitwise-identically to the key
+    owner's).  Cached jitted kernels that baked the old keys in as traced
+    constants (multiply/rotate/hoisting) are dropped."""
+    import jax.numpy as jnp
+
+    from ..ckks.context import KeySwitchKey
+
+    z = np.load(path)
+    assert int(z["n"]) == ctx.n and int(z["L"]) == ctx.L \
+        and int(z["K"]) == ctx.K and int(z["dnum"]) == ctx.dnum, (
+        "eval-key bundle was built for different CKKS params")
+    saved = bytes(z["order"]).decode()
+    cur = getattr(ctx.ntt, "order", "stockham")
+    assert saved == cur, (
+        f"eval keys were serialized from a {saved!r}-order context; this "
+        f"context's NTT backend is {cur!r} — eval-domain bin orders differ")
+    ctx.relin_key = KeySwitchKey(jnp.asarray(z["relin_b"]),
+                                 jnp.asarray(z["relin_a"]))
+    ctx.galois_keys.clear()
+    for g in z["galois_elts"].tolist():
+        ctx.galois_keys[int(g)] = KeySwitchKey(jnp.asarray(z[f"gk{g}_b"]),
+                                               jnp.asarray(z[f"gk{g}_a"]))
+    if "id_b" in z:
+        ctx._identity_ksk = KeySwitchKey(jnp.asarray(z["id_b"]),
+                                         jnp.asarray(z["id_a"]))
+    elif hasattr(ctx, "_identity_ksk"):
+        del ctx._identity_ksk
+    # _j_mul/_j_rotate/_j_hoisted close over key tensors at trace time
+    for name in ("_j_mul", "_j_rotate", "_j_hoisted"):
+        getattr(type(ctx), name).cache_clear()
 
 
 def save_generation_state(path: str, state, tokens: list[int]) -> None:

@@ -169,6 +169,57 @@ def test_fully_encrypted_chain_with_bootstrap():
         assert s["corr"] > 0.98, stats
 
 
+def test_bootstrapped_exact_scale_chain(tmp_path):
+    """Exact scale management THROUGH a bootstrap (ADVICE r3 #1): blocks
+    pre-encoded at per-level prime scales, mid-chain refresh normalized
+    exactly to ctx.scale, post-bootstrap blocks stay on the exact-scale
+    invariant (no retag deviation compounding through CT-CT squares).
+    Also covers ADVICE r3 #2: off-schedule re-encodes are persisted to
+    the cache dir and reloaded by a later pass instead of re-paying the
+    host encode."""
+    from fhe_spear_tpu.models.fully_encrypted import (
+        FullyEncryptedFfn, calibrate_magnitude, run_fully_encrypted,
+        pre_encode_blocks, fe_level_schedule)
+
+    ctx2 = CkksContext(
+        CkksParams(n=128, num_limbs=26, num_special=2,
+                   secret_hamming_weight=16), seed=82)
+    bt2 = Bootstrapper(ctx2, exp_degree=23)
+    rng = np.random.default_rng(10)
+    d, f, nb = 16, 32, 9
+    wk = [rng.normal(0, 0.1, (d, f)) for _ in range(nb)]
+    wv = [rng.normal(0, 0.1, (f, d)) for _ in range(nb)]
+    x0 = rng.normal(0, 0.3, d)
+    wk, wv = calibrate_magnitude(wk, wv, x0)
+    eng = FullyEncryptedFfn(ctx2, d, f)
+    # boot_level=8 is a guess; a wrong guess exercises the re-encode +
+    # persist path and pass 2 still hits steady state from disk
+    levels = fe_level_schedule(ctx2.L, nb, boot_level=8)
+    cache = str(tmp_path)
+    hosts = pre_encode_blocks(eng, wk, wv, cache_dir=cache, levels=levels)
+    stats = run_fully_encrypted(
+        ctx2, wk, wv, x0, bootstrap_fn=bt2.bootstrap, pre_encoded=hosts,
+        eng=eng, calibrated=True, verbose=False, cache_dir=cache)
+    assert len(stats) == nb, [s["block"] for s in stats]
+    assert stats[-1]["bootstraps"] >= 1
+    for s in stats:
+        if s["bootstraps"] == 0:
+            # pre-bootstrap: exact scales, no relabel — near-exact blocks
+            assert s["corr"] > 0.999999, stats
+        else:
+            # post-bootstrap: refresh noise dominates, but no compounding
+            assert s["corr"] > 0.98, stats
+    # pass 2: every block (incl. any re-encoded one, now persisted) loads
+    # from cache — same numerics, no re-encode message needed
+    msgs = []
+    stats2 = run_fully_encrypted(
+        ctx2, wk, wv, x0, bootstrap_fn=bt2.bootstrap, pre_encoded=hosts,
+        eng=eng, calibrated=True, verbose=False, cache_dir=cache,
+        log_fn=msgs.append)
+    assert len(stats2) == nb
+    assert not any("re-encode" in m for m in msgs), msgs
+
+
 @pytest.mark.slow
 def test_bootstrap_mxu_backend():
     """The full refresh on the MXU (four-step, natural-order) NTT backend:
