@@ -48,6 +48,8 @@ def main():
     os.environ.setdefault("FHE_STAGE_MODE",
                           "i32" if num_blocks > 8 else "expanded")
 
+    from fhe_spear_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     log(f"devices: {jax.devices()}")
 

@@ -24,6 +24,8 @@ def main():
     dnum = int(os.environ.get("BENCH_DNUM", "0")) or None
     radix = int(os.environ.get("BENCH_RADIX", "4")) or None
 
+    from fhe_spear_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     log(f"devices: {jax.devices()}")
 

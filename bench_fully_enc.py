@@ -38,6 +38,8 @@ def main():
     passes = int(os.environ.get("BENCH_PASSES", "2"))
     baseline = 40.0 if use_boot else 70.0
 
+    from fhe_spear_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     log(f"devices: {jax.devices()}")
 
@@ -48,10 +50,17 @@ def main():
 
     # --- parameters -------------------------------------------------------
     if use_boot:
-        limbs = int(os.environ.get("BENCH_LIMBS", "26"))
-        special = int(os.environ.get("BENCH_SPECIAL", "4"))
-        # groups of ceil(26/7)=4 limbs ~ 115 bits <= P = 4x31 bits
-        dnum = int(os.environ.get("BENCH_DNUM", "7"))
+        # chain design (r4): the production-quality refresh (width 2,
+        # exp_degree 31, radix 4 -> 4+4 stage groups at slots=8192)
+        # consumes 37 limbs (measured, small-ring structural twin in
+        # docs/NOTES_r4.md), so L=46 lands refreshes at level 9 = 2 blocks
+        # per refresh; 14 initial blocks + 5 refreshes covers 24 blocks.
+        # K=8 specials with dnum=ceil(L/8) keeps the 89-key set ~3.6 GB
+        # (vs 6.7 GB at K=4/dnum=12) so keys + one xs stack + block
+        # staging fit one v5e.
+        limbs = int(os.environ.get("BENCH_LIMBS", "46"))
+        special = int(os.environ.get("BENCH_SPECIAL", "8"))
+        dnum = int(os.environ.get("BENCH_DNUM", str(-(-limbs // special))))
         params = CkksParams.bootstrap(n=n, num_limbs=limbs,
                                       num_special=special, hamming=64,
                                       dnum=dnum)
@@ -105,8 +114,11 @@ def main():
     # must never silently reuse another chain's diagonals (ADVICE r3 #4)
     import hashlib
 
-    qh = hashlib.sha1(np.asarray(ctx.q_np, dtype=np.uint64).tobytes()
-                      ).hexdigest()[:10]
+    # hash the SCALE chain only (first L primes): encode scales are
+    # independent of the special primes, so a BENCH_SPECIAL change reuses
+    # the same diagonals
+    qh = hashlib.sha1(np.asarray(ctx.q_np[:limbs], dtype=np.uint64)
+                      .tobytes()).hexdigest()[:10]
     cache = f"/tmp/fe_preenc_{d}_{f}_{blocks}_{n}_q{qh}" + (
         f"_m{tmag:g}" if tmag != 1.0 else "")
     # exact-alignment encode levels (diagonals are level-specific so the
@@ -133,7 +145,16 @@ def main():
         from fhe_spear_tpu.ckks.bootstrap import Bootstrapper
 
         t0 = time.perf_counter()
-        bt = Bootstrapper(ctx)
+        # width 2 is mandatory at production rings: the width-1 refresh
+        # error is ~0.27 at N=8192 (28-bit noise floor x gamma x sqrt(S)
+        # amplification); width 2 measured 5.8e-3 at N=16384
+        # (BENCH_LOCAL_r3_boot16k.json)
+        bt = Bootstrapper(
+            ctx,
+            exp_degree=int(os.environ.get("BENCH_EXP_DEGREE", "31")),
+            radix=int(os.environ.get("BENCH_RADIX", "4")),
+            evalmod_width=int(os.environ.get("BENCH_WIDTH", "2")),
+            margin_bits=int(os.environ.get("BENCH_MARGIN_BITS", "3")))
         boot_fn = bt.bootstrap
         log(f"bootstrapper ({time.perf_counter() - t0:.1f}s)")
 

@@ -100,6 +100,8 @@ def main():
     plain = recall_at_k(plain_scores, golds)
     log(f"plaintext: {plain}")
 
+    from fhe_spear_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     log(f"devices: {jax.devices()}")
     from fhe_spear_tpu.ckks import CkksContext, CkksParams

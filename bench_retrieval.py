@@ -23,6 +23,8 @@ def main():
     sizes = [int(s) for s in os.environ.get(
         "BENCH_SIZES", "1000,10000,50000").split(",")]
 
+    from fhe_spear_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     log(f"devices: {jax.devices()}")
 

@@ -26,6 +26,8 @@ def main():
     streams = int(os.environ.get("BENCH_STREAMS", "8"))
     os.environ.setdefault("FHE_PREENC_CACHE", "/tmp/fhe_preenc_cache")
 
+    from fhe_spear_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     log(f"devices: {jax.devices()}")
 

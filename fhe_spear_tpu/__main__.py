@@ -101,6 +101,28 @@ def cmd_access_control(args):
           f"bob top: {int(np.argmax(bob))}")
     for row in security_sweep(corpus, z, classes):
         print(f"  scale={row['scale']}: separation {row['separation']:.1f}x")
+    if args.generate:
+        # FHE generation on each user's retrieved passage (the reference's
+        # tail, fhe_access_control.py:498-572)
+        from .apps.access_control import generation_demo
+        from .models.rwkv7 import make_random_model
+        from .models.client_aided import FheRwkvServer, FheRwkvClient
+
+        model = make_random_model(d=args.gen_d, f=4 * args.gen_d,
+                                  n_blocks=args.gen_blocks,
+                                  head_size=min(16, args.gen_d),
+                                  seed=args.seed + 1)
+        gen_ctx = _ctx(args.gen_n, 3, 1, args.seed + 2)
+        server = FheRwkvServer(gen_ctx, model, level=3)
+        client = FheRwkvClient(gen_ctx, model, server)
+        res = generation_demo(
+            corpus, passages, z[0],
+            "Based on the text above, the key figure is",
+            {"alice": all_classes, "bob": set()}, client,
+            num_tokens=args.tokens, verbose=True)
+        print(f"outputs differ: {res['outputs_differ']}; "
+              f"alice token-exact: "
+              f"{res['alice']['token_matches']}/{args.tokens}")
 
 
 def cmd_fhesim(args):
@@ -159,6 +181,13 @@ def main(argv=None):
     a.add_argument("--noise_scale", type=float, default=100.0)
     a.add_argument("--per_passage", action="store_true")
     a.add_argument("--seed", type=int, default=0)
+    a.add_argument("--generate", action="store_true",
+                   help="chain per-user retrieval into FHE generation on "
+                        "the retrieved passage (reference tail)")
+    a.add_argument("--tokens", type=int, default=3)
+    a.add_argument("--gen_d", type=int, default=64)
+    a.add_argument("--gen_blocks", type=int, default=2)
+    a.add_argument("--gen_n", type=int, default=2048)
     a.set_defaults(fn=cmd_access_control)
 
     s = sub.add_parser("fhesim")

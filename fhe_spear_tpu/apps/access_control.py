@@ -32,7 +32,8 @@ from ..ops.packing import euclidean_to_lorentz, pack_complex
 from ..ops.retrieval import RowPackedRetrieval
 
 __all__ = ["classify_passage", "detect_pii", "AccessControlledCorpus",
-           "SENSITIVITY_CLASSES"]
+           "SENSITIVITY_CLASSES", "generate_on_retrieved",
+           "generation_demo"]
 
 PII_PATTERNS = {
     "SSN": re.compile(r"\b\d{3}-\d{2}-\d{4}\b"),
@@ -203,6 +204,74 @@ class AccessControlledCorpus:
         qct = self.eng.encrypt_query(query)
         return self.eng.decode_scores(self.eng.scores_ctct(qct, corrected),
                                       self.n_docs)
+
+
+def generate_on_retrieved(corpus: AccessControlledCorpus, passages: list,
+                          query_vec: np.ndarray, question: str,
+                          authorized: set, client, num_tokens: int = 3,
+                          verbose: bool = False) -> dict:
+    """One user's full pipeline tail (SURVEY.md C13; the reference chains
+    per-user retrieval into FHE generation on the retrieved passage,
+    /root/reference/scripts/fhe_access_control.py:498-572): retrieve under
+    the user's corrections, build a prompt from the retrieved passage's
+    first sentence + the question, prefill the RWKV state in plaintext,
+    then generate under FHE, verified token-exact vs the plaintext twin.
+
+    `client` is a prepared models.client_aided.FheRwkvClient (share one
+    across users — the model/keys don't depend on the user)."""
+    from ..models.rwkv7 import generate_token_plaintext
+    from .rag import _toy_tokenize
+
+    corrected = corpus.apply_corrections(corpus.corrections_for(authorized))
+    scores = corpus.retrieve(query_vec, corrected)
+    idx = int(np.argmax(scores))
+    passage = passages[idx]
+    first_sent = passage.split(".")[0] + "."
+    prompt_text = f"{first_sent}\n{question}"
+
+    model = client.model
+    vocab = model.emb.shape[0]
+    prompt = _toy_tokenize(prompt_text, vocab)
+    state_fhe, state_ref = model.zero_state(), model.zero_state()
+    for tok in prompt[:-1]:
+        _, state_fhe = generate_token_plaintext(model, tok, state_fhe)
+        _, state_ref = generate_token_plaintext(model, tok, state_ref)
+
+    tok_f = tok_r = prompt[-1]
+    out, matches = [], 0
+    for _ in range(num_tokens):
+        logits_r, state_ref = generate_token_plaintext(model, tok_r, state_ref)
+        logits_f, state_fhe, _ = client.generate_token(tok_f, state_fhe)
+        tok_r = int(np.argmax(logits_r))
+        tok_f = int(np.argmax(logits_f))
+        matches += tok_f == tok_r
+        out.append(tok_f)
+    if verbose:
+        print(f"    retrieved #{idx}; tokens {out} "
+              f"({matches}/{num_tokens} match plaintext)")
+    return {"retrieved": idx, "tokens": out, "token_matches": matches,
+            "num_tokens": num_tokens, "prompt": prompt_text}
+
+
+def generation_demo(corpus: AccessControlledCorpus, passages: list,
+                    query_vec: np.ndarray, question: str,
+                    users: dict, client, num_tokens: int = 3,
+                    verbose: bool = False) -> dict:
+    """The reference's Alice/Bob generation demo: each user retrieves
+    under their own corrections and generates on THEIR retrieved passage;
+    users with different authorization retrieve different passages and so
+    generate different text (fhe_access_control.py:544-572).  Returns
+    per-user results + outputs_differ."""
+    results = {}
+    for name, auth in users.items():
+        if verbose:
+            print(f"  {name} (authorized: {sorted(auth) or 'none'}):")
+        results[name] = generate_on_retrieved(
+            corpus, passages, query_vec, question, auth, client,
+            num_tokens=num_tokens, verbose=verbose)
+    toks = [r["tokens"] for r in results.values()]
+    results["outputs_differ"] = any(t != toks[0] for t in toks[1:])
+    return results
 
 
 def security_sweep(corpus: AccessControlledCorpus, docs, passage_classes,

@@ -259,6 +259,16 @@ class CkksContext:
                 [[phat[k] % int(q[i]) * r_of(i) % int(q[i])
                   for i in range(self.L)] for k in range(self.K)]
             )[:, :, None]
+            # centered-CRT fixed-point constants for the keyswitch
+            # mod-down: v = round(sum_k y_k / p_k) via u_k ~ y_k*2^32/p_k
+            # (same scheme as _digit_tables' muA/B64)
+            self._sp_muA = u32(
+                [(1 << 32) // int(q[self.L + k]) for k in range(self.K)]
+            )[:, None]
+            self._sp_B64 = u32(
+                [((1 << 64) // int(q[self.L + k])) & 0xFFFFFFFF
+                 for k in range(self.K)]
+            )[:, None]
 
         # rescale constants: (q_l^-1 mod q_i) * R, lower-triangular [L, L]
         qlinv = np.zeros((self.L, self.L), dtype=np.uint64)
@@ -405,6 +415,48 @@ class CkksContext:
             return KeySwitchKey(b2, a2)
         return make
 
+    def shard_eval_keys(self, sharding) -> None:
+        """Re-place every evaluation key (relin + galois + identity) with
+        `sharding` — a NamedSharding partitioning the LIMB axis (axis 1 of
+        the [dnum, L+K, N] key tensors), e.g.
+        NamedSharding(mesh, PartitionSpec(None, "limb", None)).
+
+        This is the RNS-limb sharding axis of BASELINE.json applied to the
+        dominant HBM residents: at N=16384/L=59 the 89-key rotation set is
+        ~6.3 GB and each level's gathered key stack ~6 GB (docs/NOTES_r3.md
+        postmortem) — sharded over d devices both divide by d.  Downstream
+        kernels need no code changes: jit propagates the committed input
+        shardings and the XLA SPMD partitioner splits the keyswitch
+        contraction over limb rows, inserting collectives only at the
+        digit-extension boundary (the one cross-limb step).  Explicit
+        shardings require the limb dimension divisible by the mesh, so the
+        row axis is zero-padded to the next multiple — pad rows are never
+        selected by targets(l), and values are unchanged, so results stay
+        bitwise identical to the single-device kernel."""
+        import numpy as _np
+
+        axis1 = sharding.spec[1]
+        div = int(_np.prod([sharding.mesh.shape[a] for a in
+                            ((axis1,) if isinstance(axis1, str) else axis1)]))
+        LK = self.L + self.K
+        pad = (-LK) % div
+
+        def padded(x):
+            return jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
+
+        put = jax.jit(lambda b, a: (padded(b), padded(a)),
+                      out_shardings=(sharding, sharding))
+        self.relin_key = KeySwitchKey(*put(self.relin_key.b,
+                                           self.relin_key.a))
+        for g, k in list(self.galois_keys.items()):
+            self.galois_keys[g] = KeySwitchKey(*put(k.b, k.a))
+        if hasattr(self, "_identity_ksk"):
+            self._identity_ksk = KeySwitchKey(*put(self._identity_ksk.b,
+                                                   self._identity_ksk.a))
+        self._eval_key_sharding = sharding
+        self._eval_key_pad = pad
+        self._eval_key_put = put
+
     def galois_element(self, steps: int) -> int:
         """Galois element for a cyclic slot rotation by `steps` (left).
 
@@ -449,6 +501,11 @@ class CkksContext:
             for i, g in enumerate(sub):
                 self.galois_keys[g] = KeySwitchKey(b2[i], a2[i])
             del b2, a2
+        if getattr(self, "_eval_key_sharding", None) is not None:
+            for g in gs:
+                k = self.galois_keys[g]
+                self.galois_keys[g] = KeySwitchKey(
+                    *self._eval_key_put(k.b, k.a))
 
     @functools.cached_property
     def _j_make_ksk_batch(self):
@@ -929,25 +986,50 @@ class CkksContext:
 
     def _mod_down(self, ks: jnp.ndarray, l: int) -> jnp.ndarray:
         """[2, l+K, N] Mont eval over Q_l*P -> [2, l, N] Mont eval over Q_l
-        (divide by P, fast base conversion)."""
+        (divide by P, CENTERED fast base conversion).
+
+        Centering matters: the plain (non-centered) CRT recombination
+        leaves a representative error of ~K/2 integer units per
+        coefficient — P-independent, K-proportional — which convolves
+        with the secret on the c1 side and random-walks across the ~90
+        keyswitches of a D=2048 BSGS call to ~7e-4 of slot error (the
+        round-4 fe19 probe: K=8 -> 6.8e-4, K=12 -> 9.9e-4, K=2
+        single-limb -> 1.6e-4; docs/NOTES_r4.md).  With the centering
+        correction v = round(sum_k y_k / P_hat-weights) — same fixed-point
+        scheme as _fbc_digits — the representative error drops to <= 1
+        unit (v off-by-ones are rare and bounded)."""
         ntt = self.ntt
         rows = tuple(range(l))
         sp_rows = tuple(range(self.L, self.L + self.K))
         p, pinv = self._p(l)
         t = ntt.from_mont(ntt.intt(ks[..., l:, :], sp_rows), sp_rows)  # [.., K, N]
         if self.K > 1:
-            t = mont_mul(t, self.phat_inv_mont,
+            y = mont_mul(t, self.phat_inv_mont,
                          _sel(ntt.p, sp_rows), _sel(ntt.pinv, sp_rows))
-            r = barrett_reduce(t[..., :, None, :], _sel(ntt.p, rows)[None],
+            # v = round(sum_k y_k / p_k), 32-bit fixed point (error <= 2K
+            # ulps of 2^-32; an off-by-one shifts the representative by P,
+            # i.e. the result by one unit — rare, bounded)
+            u32f = y * self._sp_muA + mul_hi_u32(y, self._sp_B64)
+            lo = u32f[..., 0, :]
+            hi = jnp.zeros_like(lo)
+            for k in range(1, self.K):
+                tk = u32f[..., k, :]
+                lo2 = lo + tk
+                hi = hi + (lo2 < tk).astype(jnp.uint32)
+                lo = lo2
+            v = hi + (lo >> 31)                                 # [.., N]
+            r = barrett_reduce(y[..., :, None, :], _sel(ntt.p, rows)[None],
                                _sel(self.mu, rows)[None])       # [.., K, l, N]
             r = mont_mul(r, self.phat_mod_mont[:, :l], _sel(ntt.p, rows),
                          _sel(ntt.pinv, rows))
             u = r[..., 0, :, :]
             for k in range(1, self.K):
                 u = add_mod(u, r[..., k, :, :], p)
+            vq = mont_mul(v[..., None, :], self.Pmod_mont[:l], p, pinv)
+            u = sub_mod(u, vq, p)
         else:
-            u = barrett_reduce(t[..., 0:1, :], _sel(ntt.p, rows),
-                               _sel(self.mu, rows))              # [.., l, N]
+            # K=1: centered lift of the single special residue
+            u = self._extend_centered(t, sp_rows, rows)[..., 0, :, :]
         u = ntt.to_mont(ntt.ntt(u, rows), rows)
         return mont_mul(sub_mod(ks[..., :l, :], u, p), self.Pinv_mont[:l],
                         p, pinv)

@@ -71,7 +71,8 @@ class FullyEncryptedFfn:
     """Fully-encrypted FFN block evaluator for fixed (ctx, D, F)."""
 
     def __init__(self, ctx: CkksContext, d: int, f: int,
-                 seq_chunks: bool = False, stage_mode: str = "expanded"):
+                 seq_chunks: bool = False, stage_mode: str = "expanded",
+                 key_sharding=None):
         """seq_chunks: evaluate the F/D chunk axis with `lax.map`
         (sequential, one transient chunk live) instead of vmap — the
         memory-bounding analogue of the reference's batch-1024 full-scale
@@ -84,10 +85,18 @@ class FullyEncryptedFfn:
         as int32 coefficients [B, G, N] and RNS-expands per giant group
         inside the kernel — mandatory for deep chains (l ~ 60 at
         reference scale D=2048/F=8192/19 blocks, where expanded staging
-        would need ~3 TB)."""
+        would need ~3 TB).
+
+        key_sharding: optional NamedSharding partitioning the LIMB axis of
+        the rotation-key stacks across a device mesh (the BASELINE.json
+        RNS-limb axis; see CkksContext.shard_eval_keys).  This is what
+        lets the N=16384/L=59 reference-scale chain — whose keys + one
+        level stack alone exceed a single v5e's HBM (docs/NOTES_r3.md
+        postmortem) — run across 2+ chips; results are bitwise identical
+        to the single-chip kernel."""
         self.ctx = ctx
         self.d, self.f = d, f
-        self.eng = BsgsMatvec(ctx, d)
+        self.eng = BsgsMatvec(ctx, d, key_sharding=key_sharding)
         self.n_chunks = -(-f // d)
         self.seq_chunks = seq_chunks
         self.stage_mode = stage_mode

@@ -99,13 +99,20 @@ class BsgsMatvec:
         y   = eng(ct_x, pt)              # level l -> l-1, slots = W @ x
     """
 
-    def __init__(self, ctx: CkksContext, d: int):
+    def __init__(self, ctx: CkksContext, d: int, key_sharding=None):
+        """key_sharding: optional NamedSharding partitioning the limb axis
+        of the stacked rotation-key tensors (axis 2 of [S, d_l, T, N]) —
+        the RNS-limb scale-out axis; see CkksContext.shard_eval_keys.
+        With it, each level's key stack divides across the mesh and the
+        jitted kernels are SPMD-partitioned by XLA (bitwise-identical
+        results)."""
         assert ctx.slots % d == 0, (d, ctx.slots)
         self.ctx = ctx
         self.d = d
         self.G, self.B = bsgs_dims(d)
         self.baby_steps = tuple(range(1, self.G))
         self.giant_steps = tuple(g * self.G for g in range(1, self.B))
+        self.key_sharding = key_sharding
         ctx.ensure_galois(self.baby_steps + self.giant_steps)
         self._xs_cache: dict = {}
 
@@ -160,8 +167,23 @@ class BsgsMatvec:
                 self._xs_cache.pop(next(iter(self._xs_cache)))
 
             # stacking runs jitted: eager concatenate dispatches are
-            # unimplemented over the axon TPU tunnel
-            stk = jax.jit(lambda bs, as_: (jnp.stack(bs), jnp.stack(as_)))
+            # unimplemented over the axon TPU tunnel.  With key_sharding
+            # set, FULL (padded) key tensors are stacked limb-sharded
+            # across the mesh — [S, dnum, LKpad, N] with LKpad sharded —
+            # dividing the per-level stack footprint (~6 GB at
+            # D=2048/N=16384/L=59) by the mesh size; the level selection
+            # happens INSIDE the jitted kernel (a partitioned gather), so
+            # no replicated selected copy is ever resident.
+            if self.key_sharding is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                ks = self.key_sharding
+                spec = PartitionSpec(None, *ks.spec)
+                out_sh = NamedSharding(ks.mesh, spec)
+                stk = jax.jit(lambda bs, as_: (jnp.stack(bs), jnp.stack(as_)),
+                              out_shardings=(out_sh, out_sh))
+            else:
+                stk = jax.jit(lambda bs, as_: (jnp.stack(bs), jnp.stack(as_)))
 
             def stack_keys(steps):
                 gs = [ctx.galois_element(s) for s in steps]
@@ -175,7 +197,11 @@ class BsgsMatvec:
                 # keyswitch of extra noise on that group only)
                 keys = [(ctx.identity_ksk() if g == 1 else
                          ctx.galois_keys[g]) for g in gs]
-                kb, ka = zip(*(ctx.select_key(k, l) for k in keys))
+                if self.key_sharding is not None:
+                    kb = [k.b for k in keys]
+                    ka = [k.a for k in keys]
+                else:
+                    kb, ka = zip(*(ctx.select_key(k, l) for k in keys))
                 kbs, kas = stk(list(kb), list(ka))
                 return (jnp.asarray(perms), kbs, kas)
 
@@ -258,7 +284,18 @@ class BsgsMatvec:
         bchunk = int(os.environ.get("FHE_BABY_CHUNK", "0")) or max(
             1, nb_steps)
 
+        # with key_sharding, stacks arrive as FULL padded keys
+        # [S, dnum, LKpad, N]; select the level's digits/targets inside
+        # the kernel (a gather XLA partitions along the sharded limb axis)
+        full_keys = self.key_sharding is not None
+        d_l = ctx.num_digits(l)
+        tgt_idx = np.asarray(ctx.targets(l), dtype=np.int32)
+
+        def ksel(k):
+            return k[:, :d_l][:, :, tgt_idx] if full_keys else k
+
         def kernel(c, pt, bp, bkb, bka, gp, gkb, gka):
+            bkb, bka, gkb, gka = ksel(bkb), ksel(bka), ksel(gkb), ksel(gka)
             # hoisted baby rotations — batched keyswitch over G-1 keys
             D1 = ctx._decompose(c[..., 1, :, :], l)
             if self.baby_steps:
@@ -317,8 +354,9 @@ class DiagonalMatvec(BsgsMatvec):
     kernel, host staging, and 1-level cost as the square-matrix engine.
     """
 
-    def __init__(self, ctx: CkksContext, offsets):
+    def __init__(self, ctx: CkksContext, offsets, key_sharding=None):
         self.ctx = ctx
+        self.key_sharding = key_sharding
         s = ctx.slots
         signed = sorted({((o % s) + s // 2) % s - s // 2 for o in offsets})
         self.d = s

@@ -30,7 +30,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..core.modops import (mont_mul, add_mod, sub_mod, barrett_reduce,
-                           cond_sub, mont_reduce_wide)
+                           cond_sub, mont_reduce_wide, mul_hi_u32)
 from ..core.ntt import NttContext, automorphism_perm
 from ..ckks.context import CkksContext
 from ..ckks.ciphertext import Ciphertext
@@ -79,6 +79,7 @@ class LimbShardedRotator:
         qhalf = ctx.q_half[np.asarray(rows)]        # [l,1,1] replicated
         qhalf_sp = ctx.q_half[np.asarray(sp_rows)]
         pinv_mont = ctx.Pinv_mont[:l]               # [l,1] sharded
+        pmod_mont = ctx.Pmod_mont[:l]               # [l,1] sharded
         kb_loc, ka_loc = ksk.b[:l][:, np.asarray(rows)], \
             ksk.a[:l][:, np.asarray(rows)]          # [l, l, N] ax1 sharded
         kb_sp, ka_sp = ksk.b[:l][:, np.asarray(sp_rows)], \
@@ -86,9 +87,11 @@ class LimbShardedRotator:
         if K > 1:
             phinv = ctx.phat_inv_mont               # [K, 1] replicated
             phmod_loc = ctx.phat_mod_mont[:, np.asarray(rows)]  # [K,l,1] ax1 sharded
+            sp_muA, sp_B64 = ctx._sp_muA, ctx._sp_B64   # [K,1] closure consts
         else:
             phinv = jnp.zeros((1, 1), jnp.uint32)   # unused placeholders
             phmod_loc = jnp.zeros((1, l, 1), jnp.uint32)
+            sp_muA = sp_B64 = None
 
         def extend(coeffs_all, p_t, mu_t, qmod, qh):
             """[l, N] plain digits -> [l, T, N] centered re-reductions."""
@@ -99,7 +102,7 @@ class LimbShardedRotator:
             return jnp.where(c >= qh, r_neg, r)
 
         def body(c, tbl, tbs, mu_l, mu_s, r2l, qm_ll, qm_ls, qm_sl, pim,
-                 kbl, kal, kbs, kas, phinv_a, phmod_a):
+                 pmm, kbl, kal, kbs, kas, phinv_a, phmod_a):
             p_l, pinv_l = tbl["p"], tbl["pinv"]
             p_s, pinv_s = tbs["p"], tbs["pinv"]
             cp = jnp.take(c, perm, axis=-1)
@@ -126,21 +129,34 @@ class LimbShardedRotator:
             ks_l = jnp.stack(ks_l)                   # [2, lloc, N] Mont
             ks_s = jnp.stack(ks_s)                   # [2, K, N] Mont (redund)
             # P-division: specials -> coefficients -> extend to local limbs
+            # (CENTERED conversion in both branches — same op order as the
+            # single-chip _mod_down, so bitwise equal; see its docstring
+            # for the noise analysis of the non-centered form)
             t = _from_mont(NttContext.intt_t(ks_s, tbs), p_s, pinv_s)
             if K == 1:
-                # non-centered fast base conversion — matches the
-                # single-chip _mod_down bit for bit
-                u = barrett_reduce(t[:, 0][:, None, :], p_l, mu_l)
+                cc = t[:, 0][:, None, :]
+                r = barrett_reduce(cc, p_l, mu_l)
+                fix = p_l - qm_sl[0]
+                r_neg = cond_sub(r + fix, p_l)
+                u = jnp.where(cc >= qhalf_sp[0], r_neg, r)
             else:
-                # CRT recombination sum_k [t_k * Phat_k^-1]_{p_k} * Phat_k
-                # re-reduced into each LOCAL limb domain — same op order as
-                # the single-chip _mod_down K>1 branch, so bitwise equal
                 y = mont_mul(t, phinv_a, p_s, pinv_s)          # [2, K, N]
+                u32f = y * sp_muA + mul_hi_u32(y, sp_B64)
+                lo = u32f[:, 0]
+                hi = jnp.zeros_like(lo)
+                for k in range(1, K):
+                    tk = u32f[:, k]
+                    lo2 = lo + tk
+                    hi = hi + (lo2 < tk).astype(jnp.uint32)
+                    lo = lo2
+                v = hi + (lo >> 31)                            # [2, N]
                 r = barrett_reduce(y[:, :, None, :], p_l[None], mu_l[None])
                 r = mont_mul(r, phmod_a, p_l, pinv_l)          # [2,K,lloc,N]
                 u = r[:, 0]
                 for k in range(1, K):
                     u = add_mod(u, r[:, k], p_l)
+                vq = mont_mul(v[:, None, :], pmm, p_l, pinv_l)
+                u = sub_mod(u, vq, p_l)
             u = mont_mul(NttContext.ntt_t(u, tbl), r2l, p_l, pinv_l)
             out = mont_mul(sub_mod(ks_l, u, p_l), pim, p_l, pinv_l)
             c0 = add_mod(jnp.take(c[0], perm, axis=-1), out[0], p_l)
@@ -157,14 +173,14 @@ class LimbShardedRotator:
                                                 x, jnp.ndarray))
         in_specs = (P(None, ax, None), tb_spec_loc, tb_spec_sp,
                     row, P(), row, P(None, ax, None), P(), P(None, ax, None),
-                    row, P(None, ax, None), P(None, ax, None), P(), P(),
+                    row, row, P(None, ax, None), P(None, ax, None), P(), P(),
                     P(), P(None, ax, None))
         f = shard_map(body, mesh=self.mesh, in_specs=in_specs,
                       out_specs=P(None, ax, None), check_vma=False)
         jf = jax.jit(f)
         args = (tb_loc, tb_sp, mu_loc, mu_sp, r2_loc, qmod_loc, qmod_sp,
-                qmod_sp_to_loc, pinv_mont, kb_loc, ka_loc, kb_sp, ka_sp,
-                phinv, phmod_loc)
+                qmod_sp_to_loc, pinv_mont, pmod_mont, kb_loc, ka_loc, kb_sp,
+                ka_sp, phinv, phmod_loc)
         return lambda c: jf(c, *args)
 
     def rotate(self, ct: Ciphertext, steps: int) -> Ciphertext:

@@ -24,7 +24,6 @@ import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 from jax import shard_map
 
@@ -112,27 +111,35 @@ class ShardedBsgsMatvec:
                 prod = add_mod(prod[: m // 2], prod[m // 2:], p)
             return prod[0]
 
+        def tree_sum(s):
+            while s.shape[0] > 1:
+                m = s.shape[0]
+                if m % 2:
+                    s = s.at[0].set(add_mod(s[0], s[m - 1], p))
+                    s = s[: m - 1]
+                    m -= 1
+                s = add_mod(s[: m // 2], s[m // 2:], p)
+            return s[0]
+
         def body(c, pt_l, bp, bkb, bka, gperm_l, gkb_l, gka_l):
-            # replicated: hoisted baby rotations
+            # replicated: hoisted baby rotations as ONE batched keyswitch
+            # (the round-3 kernel restructure, docs/NOTES_r3.md: the
+            # original lax.scan ran one latency-bound step per key)
             D1 = ctx._decompose(c[..., 1, :, :], l)
             if self.G > 1:
-                _, rot = lax.scan(
-                    lambda _, xs: (None, rotate_with(c, D1, *xs)), None,
-                    (bp, bkb, bka))
+                rot = jax.vmap(
+                    lambda perm, kb, ka: rotate_with(c, D1, perm, kb, ka)
+                )(bp, bkb, bka)
                 babies = jnp.concatenate([c[None], rot])
             else:
                 babies = c[None]
 
-            # local giant groups
-            def giant_body(y, xs):
-                ptg, perm, kb, ka = xs
-                acc = contract(babies, ptg)
-                D2 = ctx._decompose(acc[..., 1, :, :], l)
-                y = add_mod(y, rotate_with(acc, D2, perm, kb, ka), p)
-                return y, None
-
-            y0 = jnp.zeros((2, l, n), dtype=jnp.uint32)
-            y, _ = lax.scan(giant_body, y0, (pt_l, gperm_l, gkb_l, gka_l))
+            # local giant groups, all in one batch: contraction, digit
+            # decomposition, and keyswitch are each a single batched op
+            accs = jax.vmap(lambda ptg: contract(babies, ptg))(pt_l)
+            D2 = ctx._decompose(accs[..., 1, :, :], l)
+            rots = jax.vmap(rotate_with)(accs, D2, gperm_l, gkb_l, gka_l)
+            y = tree_sum(rots)
             # modular all-reduce over the giant axis, then rescale
             y = psum_mod(y, self.axis, p, pinv, sh16)
             return ctx._rescale_core(y, l)

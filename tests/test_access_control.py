@@ -100,3 +100,39 @@ def test_leak_study_fhe_restore(ctx):
     assert res["auth_top1"] == res["true_top1"], res
     assert res["auth_score_corr"] > 0.999, res
     assert res["unauth_score_corr"] < 0.5, res
+
+
+def test_generation_on_retrieved_passage(ctx):
+    """VERDICT r3 #6 (C13 tail): per-user retrieval chains into FHE
+    generation on the retrieved passage (the reference's Alice/Bob demo,
+    fhe_access_control.py:498-572).  The authorized user retrieves the
+    true passage and generates token-exactly; the unauthorized user's
+    noised retrieval lands elsewhere, so the generations differ — the
+    FHE generation itself is exact for BOTH (access control acts through
+    retrieval, not by corrupting the generator)."""
+    from fhe_spear_tpu.apps.access_control import generation_demo
+    from fhe_spear_tpu.models.rwkv7 import make_random_model
+    from fhe_spear_tpu.models.client_aided import FheRwkvServer, FheRwkvClient
+
+    docs, q, classes = make_corpus()
+    passages = [f"Passage {i} reports figure {i * 7}. Extra sentence."
+                for i in range(len(docs))]
+    corpus = AccessControlledCorpus(ctx, dim=16, noise_scale=100.0, seed=1)
+    corpus.build(docs, classes)
+
+    model = make_random_model(d=16, f=32, n_blocks=1, head_size=8, vocab=64,
+                              seed=9)
+    gen_ctx = CkksContext(CkksParams(n=256, num_limbs=3, num_special=1),
+                          seed=72)
+    server = FheRwkvServer(gen_ctx, model, level=3)
+    client = FheRwkvClient(gen_ctx, model, server)
+
+    res = generation_demo(
+        corpus, passages, q, "Based on the text above, the figure is",
+        {"alice": {"financial", "medical"}, "bob": set()},
+        client, num_tokens=2)
+    assert res["alice"]["retrieved"] == 3, res["alice"]
+    assert res["alice"]["token_matches"] == 2, res["alice"]
+    assert res["bob"]["retrieved"] != 3, res["bob"]
+    assert res["bob"]["token_matches"] == 2, res["bob"]
+    assert res["outputs_differ"], res
