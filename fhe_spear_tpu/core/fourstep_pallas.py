@@ -69,12 +69,19 @@ def _recombine(S, csh, p, pinv):
 
 
 def ntt_fourstep_pallas(fs, x, rows=None, dot_impl: str = "f32",
-                        interpret: bool = False):
+                        interpret: bool = False, variant: str = "3d"):
     """x: [R, B, N] uint32 Mont coefficients -> [R, B, N] four-step bins.
 
     fs: a parallel.ntt_fourstep.FourStepNtt (tables reused verbatim).
     One grid step per limb row; everything for that row stays in VMEM.
+
+    variant="2d": per-batch-row body built ONLY from 2-D matmuls and 2-D
+    transposes — no rank-3 transposes/reshapes, the constructs the remote
+    Mosaic compiler rejects (docs/NOTES_r3.md probe ladder).  Bitwise
+    identical to the 3d variant and to FourStepNtt.ntt_mxu_b.
     """
+    if variant == "2d":
+        return _ntt_fourstep_pallas_2d(fs, x, rows, dot_impl, interpret)
     import numpy as np
 
     r, bsz, n = x.shape
@@ -130,4 +137,65 @@ def ntt_fourstep_pallas(fs, x, rows=None, dot_impl: str = "f32",
         out_shape=jax.ShapeDtypeStruct((r, bsz, n), jnp.uint32),
         interpret=interpret,
     )(x, psi[:, None, :], w1_8, w2_8, tw, csh[:, None, :], p[:, None, None],
+      pinv[:, None, None])
+
+
+def _ntt_fourstep_pallas_2d(fs, x, rows=None, dot_impl: str = "f32",
+                            interpret: bool = False):
+    """2-D-only body (see ntt_fourstep_pallas variant="2d").
+
+    Per batch row b:  v = twist(x_b) as [n1, n2] (row split — the last
+    dim stays a 128-lane multiple);  A = W1-limb-dot(v)  (2-D matmul);
+    A *= tw;  B = W2-limb-dot(A^T)  (one 2-D transpose + 2-D matmul);
+    out_b = flatten(B^T is NOT needed: B is [k2, k1], and the natural
+    four-step bin order is k = k2*n1 + k1, i.e. row-major flatten of B).
+    """
+    import numpy as np
+
+    r, bsz, n = x.shape
+    n1, n2 = fs.n1, fs.n2
+    sel = lambda t: np.asarray(t) if rows is None else np.asarray(t)[
+        np.asarray(rows, dtype=np.int32)]
+    psi2 = jnp.asarray(sel(fs.base.psi)).reshape(r, n1, n2)
+    w1_8 = jnp.asarray(sel(fs.w1_8)).reshape(r, 5 * n1, n1)
+    w2_8 = jnp.asarray(sel(fs.w2_8)).reshape(r, 5 * n2, n2)
+    tw = jnp.asarray(sel(fs.tw))                     # [R, N1, N2]
+    csh = jnp.asarray(sel(fs.csh))                   # [R, 9]
+    p = jnp.asarray(fs._sel_np(rows, "p"))[:, 0]     # [R]
+    pinv = jnp.asarray(fs._sel_np(rows, "pinv"))[:, 0]
+
+    def kernel(x_ref, psi_ref, w1_ref, w2_ref, tw_ref, csh_ref, p_ref,
+               pinv_ref, out_ref):
+        pq = p_ref[0, 0, 0]
+        piv = pinv_ref[0, 0, 0]
+        cs = csh_ref[0, 0]
+        for b in range(bsz):
+            v = x_ref[0, b].reshape(n1, n2)              # row split
+            v = mont_mul(v, psi_ref[0], pq, piv)         # twist
+            # column DFT over j1: ONE 2-D limb matmul [5n1, n1] x [n1, n2]
+            a = _recombine(_limb_dot(w1_ref[0], v, dot_impl), cs, pq, piv)
+            a = mont_mul(a, tw_ref[0], pq, piv)          # twiddle [n1, n2]
+            # row DFT over j2: 2-D transpose + 2-D limb matmul
+            at = a.T                                     # [n2, n1]
+            bb = _recombine(_limb_dot(w2_ref[0], at, dot_impl), cs, pq, piv)
+            out_ref[0, b] = bb.reshape(n)                # k = k2*n1 + k1
+    grid = (r,)
+    row3 = lambda i: (i, 0, 0)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bsz, n), row3),          # x
+            pl.BlockSpec((1, n1, n2), row3),          # psi (2-D per limb)
+            pl.BlockSpec((1, 5 * n1, n1), row3),      # w1 limbs
+            pl.BlockSpec((1, 5 * n2, n2), row3),      # w2 limbs
+            pl.BlockSpec((1, n1, n2), row3),          # twiddle
+            pl.BlockSpec((1, 1, 9), row3),            # csh
+            pl.BlockSpec((1, 1, 1), row3),            # p
+            pl.BlockSpec((1, 1, 1), row3),            # pinv
+        ],
+        out_specs=pl.BlockSpec((1, bsz, n), row3),
+        out_shape=jax.ShapeDtypeStruct((r, bsz, n), jnp.uint32),
+        interpret=interpret,
+    )(x, psi2, w1_8, w2_8, tw, csh[:, None, :], p[:, None, None],
       pinv[:, None, None])

@@ -159,7 +159,10 @@ class BsgsMatvec:
         Re-stacking an evicted level costs one device gather."""
         if l not in self._xs_cache:
             import os
+            import sys
+            import time as _time
 
+            t_xs0 = _time.perf_counter()
             ctx = self.ctx
             n = ctx.n
             cap = max(1, int(os.environ.get("FHE_XS_CACHE", "2")))
@@ -205,8 +208,13 @@ class BsgsMatvec:
                 kbs, kas = stk(list(kb), list(ka))
                 return (jnp.asarray(perms), kbs, kas)
 
-            self._xs_cache[l] = (stack_keys(self.baby_steps)
-                                 + stack_keys(self.giant_steps))
+            xs = stack_keys(self.baby_steps) + stack_keys(self.giant_steps)
+            if os.environ.get("FHE_XS_LOG") == "1":
+                jax.block_until_ready(xs[1])
+                print(f"  [xs] level-{l} key-stack gather: "
+                      f"{_time.perf_counter() - t_xs0:.3f}s",
+                      file=sys.stderr, flush=True)
+            self._xs_cache[l] = xs
         return self._xs_cache[l]
 
     @functools.lru_cache(maxsize=None)

@@ -107,9 +107,11 @@ def test_mxu_backend_context_ops():
 
 
 @pytest.mark.parametrize("dot_impl", ["f32", "int8"])
-def test_fourstep_pallas_bitwise(ctx, dot_impl):
+@pytest.mark.parametrize("variant", ["3d", "2d"])
+def test_fourstep_pallas_bitwise(ctx, dot_impl, variant):
     """Fused Pallas four-step kernel (interpret mode) bitwise-equal to the
-    XLA MXU path."""
+    XLA MXU path; the 2d variant is the Mosaic-friendly body (2-D matmuls
+    and 2-D transposes only)."""
     from fhe_spear_tpu.core.fourstep_pallas import ntt_fourstep_pallas
 
     fs = FourStepNtt(ctx.ntt, 16, 16)
@@ -119,5 +121,5 @@ def test_fourstep_pallas_bitwise(ctx, dot_impl):
                                       ).reshape(3, 1, ctx.n)], axis=1)
     want = np.asarray(fs.ntt_mxu_b(x, rows))
     got = np.asarray(ntt_fourstep_pallas(fs, x, rows, dot_impl=dot_impl,
-                                         interpret=True))
+                                         interpret=True, variant=variant))
     np.testing.assert_array_equal(got, want)

@@ -98,20 +98,23 @@ def main():
 
     xb = x[:, None, :]                                  # [R, 1, N]
     for impl in ("f32", "int8"):
-        try:
-            j_pal = jax.jit(lambda v, _i=impl: ntt_fourstep_pallas(
-                fs, v, rows=rows, dot_impl=_i))
-            got_p = np.asarray(j_pal(xb))[:, 0, :]
-            # pallas kernel emits natural four-step bin order (same as
-            # ntt_mxu); compare via the same bitrev permutation
-            assert np.array_equal(got_p[..., bitrev_indices(n)], want), (
-                f"pallas {impl} mismatch")
-            t_pal = bench(lambda v: j_pal(v), arg=xb)
-            pallas_ms[impl] = round(t_pal * 1e3, 4)
-            log(f"pallas[{impl}] {t_pal*1e3:.3f} ms (bitwise-equal)")
-        except Exception as e:  # Mosaic/backend-specific: report, continue
-            pallas_ms[impl] = f"unavailable: {type(e).__name__}: {e}"[:200]
-            log(f"pallas[{impl}] failed: {e}")
+        for variant in ("3d", "2d"):
+            key = impl if variant == "3d" else f"{impl}_{variant}"
+            try:
+                j_pal = jax.jit(
+                    lambda v, _i=impl, _v=variant: ntt_fourstep_pallas(
+                        fs, v, rows=rows, dot_impl=_i, variant=_v))
+                got_p = np.asarray(j_pal(xb))[:, 0, :]
+                # pallas kernel emits natural four-step bin order (same as
+                # ntt_mxu); compare via the same bitrev permutation
+                assert np.array_equal(got_p[..., bitrev_indices(n)], want), (
+                    f"pallas {key} mismatch")
+                t_pal = bench(lambda v: j_pal(v), arg=xb)
+                pallas_ms[key] = round(t_pal * 1e3, 4)
+                log(f"pallas[{key}] {t_pal*1e3:.3f} ms (bitwise-equal)")
+            except Exception as e:  # Mosaic/backend-specific: report
+                pallas_ms[key] = f"unavailable: {type(e).__name__}: {e}"[:200]
+                log(f"pallas[{key}] failed: {e}")
 
     print(json.dumps({
         "metric": f"NTT [R={rows_n}, N={n}] forward transform (TPU)",
