@@ -26,9 +26,11 @@ if [ "$PHASE" = fe ]; then
     BENCH_PASSES=2 BENCH_SPECIAL=12 BENCH_DNUM=8 \
     FHE_GIANT_CHUNK=4 FHE_BABY_CHUNK=16 FHE_XS_CACHE=1 FHE_COMPILE_CACHE=0 \
     python bench_fully_enc.py
+  # GIANT_CHUNK=2 at N=16384: chunk=4's contraction transients OOM'd
+  # (17.4G > 15.75G; see the contract() layout note in ops/bsgs.py)
   step fe24boot BENCH_D=2048 BENCH_F=8192 BENCH_N=16384 BENCH_BLOCKS=24 \
     BENCH_BOOTSTRAP=1 BENCH_BOOT_LEVEL=9 BENCH_PASSES=2 \
-    FHE_GIANT_CHUNK=4 FHE_BABY_CHUNK=16 FHE_XS_CACHE=1 FHE_COMPILE_CACHE=0 \
+    FHE_GIANT_CHUNK=2 FHE_BABY_CHUNK=8 FHE_XS_CACHE=1 FHE_COMPILE_CACHE=0 \
     python bench_fully_enc.py
 fi
 
