@@ -255,27 +255,28 @@ class BsgsMatvec:
             """sum_b babies[b] * ptg[b]: [G, 2, l, N] x [G, l, N] -> [2, l, N]
             (or with a leading chunk axis on both).
 
-            The two ciphertext components are contracted SEPARATELY: a
-            fused [chunk, G, 2, l, N] product puts the 2-axis in a tiled
+            The 2-component axis is moved to the FRONT for the product:
+            a [chunk, G, 2, l, N] intermediate puts the 2-axis in a tiled
             layout position and XLA pads it 8 wide — a 2.8x HBM blowup
             that OOM'd the N=16384 bootstrap chain (docs/NOTES_r4.md).
-            Per-component [chunk, G, l, N] tensors lay out clean."""
-            def one(comp):
-                prod = mont_mul(babies[..., comp, :, :], ptg, p,
-                                ctx.ntt.pinv[:l])
-                while prod.shape[-3] > 1:
-                    m = prod.shape[-3]
-                    if m % 2:
-                        head = prod[..., :1, :, :]
-                        prod = prod[..., 1:, :, :]
-                        first = add_mod(prod[..., 0, :, :],
-                                        head[..., 0, :, :], p)
-                        prod = prod.at[..., 0, :, :].set(first)
-                        m -= 1
-                    prod = add_mod(prod[..., : m // 2, :, :],
-                                   prod[..., m // 2:, :, :], p)
-                return prod[..., 0, :, :]
-            return jnp.stack([one(0), one(1)], axis=-3)
+            With the 2-axis leading, only (l, N) sit in the tiled minor
+            positions and padding is ~4%."""
+            b2 = jnp.moveaxis(babies, -3, 0)          # [2, G, l, N]
+            if ptg.ndim == 4:                         # [chunk, G, l, N]
+                b2 = b2[:, None]
+            prod = mont_mul(b2, ptg, p, ctx.ntt.pinv[:l])
+            while prod.shape[-3] > 1:
+                m = prod.shape[-3]
+                if m % 2:
+                    head = prod[..., :1, :, :]
+                    prod = prod[..., 1:, :, :]
+                    first = add_mod(prod[..., 0, :, :],
+                                    head[..., 0, :, :], p)
+                    prod = prod.at[..., 0, :, :].set(first)
+                    m -= 1
+                prod = add_mod(prod[..., : m // 2, :, :],
+                               prod[..., m // 2:, :, :], p)
+            return jnp.moveaxis(prod[..., 0, :, :], 0, -3)
 
         def giant_chunk(babies, ptc, perms, kbs, kas):
             """One batched chunk of giant groups -> their rotated partial
