@@ -78,7 +78,16 @@ def main():
 
     # --- model (random weights; FHE correctness is weight-independent —
     # test_fully_enc_bsgs.py random-weight mode, seed 42) ------------------
+    # x0 comes from its OWN seeded stream: drawing it from the weight rng
+    # made it depend on whether the weight files already existed (a cache
+    # hit skips the standard_normal draws) — runs then calibrated their
+    # plaintext reference against a DIFFERENT x0 than the one the cached
+    # pre-encoded diagonals were calibrated with, a deterministic
+    # signal-proportional mismatch that compounds through the chain
+    # (~5.8e-3 at block 0, ~0.21 by block 2 in the r4 fe19 runs; likely
+    # a contributor to the r3 fe19 corr-0.997 artifact as well).
     rng = np.random.default_rng(42)
+    x0 = np.random.default_rng(4242).uniform(-1, 1, d)
     wdir = f"/tmp/fe_model_{d}_{f}_{blocks}"
     os.makedirs(wdir, exist_ok=True)
     w_keys, w_vals = [], []
@@ -93,7 +102,6 @@ def main():
                          ).astype(np.float64))
         w_keys.append(np.load(kf, mmap_mode="r"))
         w_vals.append(np.load(vf, mmap_mode="r"))
-    x0 = rng.uniform(-1, 1, d)
     log(f"weights ({time.perf_counter() - t0:.1f}s)")
 
     # --- calibrate + pre-encode (cached) ----------------------------------
@@ -116,10 +124,14 @@ def main():
 
     # hash the SCALE chain only (first L primes): encode scales are
     # independent of the special primes, so a BENCH_SPECIAL change reuses
-    # the same diagonals
+    # the same diagonals.  The CALIBRATED weights (x0-dependent) are part
+    # of the cached bytes, so the key also fingerprints x0 — a mismatch
+    # here is exactly the silent-corruption class of ADVICE r3 #4.
     qh = hashlib.sha1(np.asarray(ctx.q_np[:limbs], dtype=np.uint64)
                       .tobytes()).hexdigest()[:10]
-    cache = f"/tmp/fe_preenc_{d}_{f}_{blocks}_{n}_q{qh}" + (
+    xh = hashlib.sha1(np.asarray(x0, dtype=np.float64).tobytes()
+                      ).hexdigest()[:8]
+    cache = f"/tmp/fe_preenc_{d}_{f}_{blocks}_{n}_q{qh}_x{xh}" + (
         f"_m{tmag:g}" if tmag != 1.0 else "")
     # exact-alignment encode levels (diagonals are level-specific so the
     # block output scale equals its input scale exactly — no relabel error).
