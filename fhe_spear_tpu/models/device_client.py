@@ -81,14 +81,24 @@ class DeviceTokenRunner:
     # -- server-side pre-encoding (diagonals / PRESCALE, i32-resident) ----
 
     def _build_server_stacks(self, cache_dir):
+        import hashlib
         import os
 
         enc = self.eng.encode
         d = self.d
+        # the cached bytes are encodings OF THE WEIGHTS: key them by a
+        # weight fingerprint so a rebuilt/changed model can never silently
+        # reuse another model's diagonals (the ADVICE r3 #4 silent-reuse
+        # class; bench_fully_enc had exactly this bug via its calibration
+        # input — docs/NOTES_r4.md)
+        mh = hashlib.sha1(
+            np.ascontiguousarray(self.model.blocks[0].W_r).tobytes()
+            + np.ascontiguousarray(self.model.blocks[-1].W_val_ffn)
+            .tobytes()).hexdigest()[:8]
         stacks = {"rkv": [], "o": [], "fk": [], "fv": []}
         for bi, blk in enumerate(self.model.blocks):
             bdir = (os.path.join(cache_dir,
-                                 f"dc{bi}_{d}_{self.f}_{self.ctx.n}")
+                                 f"dc{bi}_{d}_{self.f}_{self.ctx.n}_{mh}")
                     if cache_dir else None)
             names = list(stacks.keys())
             if bdir and all(os.path.exists(os.path.join(bdir, k + ".npy"))
