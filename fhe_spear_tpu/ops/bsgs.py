@@ -99,13 +99,27 @@ class BsgsMatvec:
         y   = eng(ct_x, pt)              # level l -> l-1, slots = W @ x
     """
 
-    def __init__(self, ctx: CkksContext, d: int, key_sharding=None):
+    def __init__(self, ctx: CkksContext, d: int, key_sharding=None,
+                 full_key_stacks: bool | None = None):
         """key_sharding: optional NamedSharding partitioning the limb axis
         of the stacked rotation-key tensors (axis 2 of [S, d_l, T, N]) —
         the RNS-limb scale-out axis; see CkksContext.shard_eval_keys.
         With it, each level's key stack divides across the mesh and the
         jitted kernels are SPMD-partitioned by XLA (bitwise-identical
-        results)."""
+        results).
+
+        full_key_stacks: stack the FULL [S, dnum, L+K, N] key tensors ONCE
+        (level-independent) and select the level's digits/targets INSIDE
+        the jitted kernel, instead of gathering a selected stack per
+        level.  A deep chain walks ~40 distinct levels and each per-level
+        gather costs ~9-23 s through the tunnel (2 per block — measured
+        ~27 s of the 33 s/block fe19 pass-2 time, docs/NOTES_r4.md);
+        the full stack makes that a one-time cost.  At the deepest level
+        the selected stack is the same size as the full one, so resident
+        memory is unchanged where it matters.  Defaults to on when the
+        env FHE_FULL_KEY_STACKS is unset; key_sharding implies it."""
+        import os
+
         assert ctx.slots % d == 0, (d, ctx.slots)
         self.ctx = ctx
         self.d = d
@@ -113,6 +127,11 @@ class BsgsMatvec:
         self.baby_steps = tuple(range(1, self.G))
         self.giant_steps = tuple(g * self.G for g in range(1, self.B))
         self.key_sharding = key_sharding
+        if full_key_stacks is None:
+            full_key_stacks = os.environ.get("FHE_FULL_KEY_STACKS",
+                                             "1") == "1"
+        self.full_key_stacks = bool(full_key_stacks) or (
+            key_sharding is not None)
         ctx.ensure_galois(self.baby_steps + self.giant_steps)
         self._xs_cache: dict = {}
 
@@ -156,7 +175,11 @@ class BsgsMatvec:
         stack is a full gathered COPY of every rotation key (~6 GB at
         D=2048/N=16384/L=59), and a deep chain walks ~40 distinct levels —
         an unbounded cache OOMs the chip (round-3 fe19 postmortem).
-        Re-stacking an evicted level costs one device gather."""
+        Re-stacking an evicted level costs one device gather.  With
+        full_key_stacks the stacks are level-INDEPENDENT (raw keys; the
+        kernel selects inside the jit) and are built exactly once."""
+        if self.full_key_stacks:
+            l = "full"
         if l not in self._xs_cache:
             import os
             import sys
@@ -200,7 +223,7 @@ class BsgsMatvec:
                 # keyswitch of extra noise on that group only)
                 keys = [(ctx.identity_ksk() if g == 1 else
                          ctx.galois_keys[g]) for g in gs]
-                if self.key_sharding is not None:
+                if self.full_key_stacks:
                     kb = [k.b for k in keys]
                     ka = [k.a for k in keys]
                 else:
@@ -301,10 +324,11 @@ class BsgsMatvec:
         bchunk = int(os.environ.get("FHE_BABY_CHUNK", "0")) or max(
             1, nb_steps)
 
-        # with key_sharding, stacks arrive as FULL padded keys
-        # [S, dnum, LKpad, N]; select the level's digits/targets inside
-        # the kernel (a gather XLA partitions along the sharded limb axis)
-        full_keys = self.key_sharding is not None
+        # with full_key_stacks (incl. key_sharding), stacks arrive as FULL
+        # (possibly padded) keys [S, dnum, LK(pad), N]; select the level's
+        # digits/targets inside the kernel — an HBM-local gather (and one
+        # XLA partitions along the sharded limb axis when sharded)
+        full_keys = self.full_key_stacks
         d_l = ctx.num_digits(l)
         tgt_idx = np.asarray(ctx.targets(l), dtype=np.int32)
 
@@ -371,9 +395,17 @@ class DiagonalMatvec(BsgsMatvec):
     kernel, host staging, and 1-level cost as the square-matrix engine.
     """
 
-    def __init__(self, ctx: CkksContext, offsets, key_sharding=None):
+    def __init__(self, ctx: CkksContext, offsets, key_sharding=None,
+                 full_key_stacks: bool | None = None):
+        import os
+
         self.ctx = ctx
         self.key_sharding = key_sharding
+        if full_key_stacks is None:
+            full_key_stacks = os.environ.get("FHE_FULL_KEY_STACKS",
+                                             "1") == "1"
+        self.full_key_stacks = bool(full_key_stacks) or (
+            key_sharding is not None)
         s = ctx.slots
         signed = sorted({((o % s) + s // 2) % s - s // 2 for o in offsets})
         self.d = s
