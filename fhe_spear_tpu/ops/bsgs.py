@@ -274,32 +274,49 @@ class BsgsMatvec:
                          ks[..., 0, :, :], p)
             return jnp.stack([c0, ks[..., 1, :, :]], axis=-3)
 
+        # contraction layout (FHE_CONTRACT_LAYOUT): "fused" multiplies the
+        # full [.., G, 2, l, N] tensor (fastest — measured 9.3 vs 11.1
+        # s/token on the device-client path); "lead" moves the 2-component
+        # axis to the front first, avoiding XLA's 8-wide padding of the
+        # 2-axis when it lands in a tiled layout position — a 2.8x HBM
+        # blowup that OOM'd the N=16384 bootstrap chain (docs/NOTES_r4.md).
+        # Use "lead" for memory-bound deep-chain configs.
+        lead = os.environ.get("FHE_CONTRACT_LAYOUT", "fused") == "lead"
+
         def contract(babies, ptg):
             """sum_b babies[b] * ptg[b]: [G, 2, l, N] x [G, l, N] -> [2, l, N]
-            (or with a leading chunk axis on both).
-
-            The 2-component axis is moved to the FRONT for the product:
-            a [chunk, G, 2, l, N] intermediate puts the 2-axis in a tiled
-            layout position and XLA pads it 8 wide — a 2.8x HBM blowup
-            that OOM'd the N=16384 bootstrap chain (docs/NOTES_r4.md).
-            With the 2-axis leading, only (l, N) sit in the tiled minor
-            positions and padding is ~4%."""
-            b2 = jnp.moveaxis(babies, -3, 0)          # [2, G, l, N]
-            if ptg.ndim == 4:                         # [chunk, G, l, N]
-                b2 = b2[:, None]
-            prod = mont_mul(b2, ptg, p, ctx.ntt.pinv[:l])
-            while prod.shape[-3] > 1:
-                m = prod.shape[-3]
+            (or with a leading chunk axis on ptg)."""
+            if lead:
+                b2 = jnp.moveaxis(babies, -3, 0)      # [2, G, l, N]
+                if ptg.ndim == 4:                     # [chunk, G, l, N]
+                    b2 = b2[:, None]
+                prod = mont_mul(b2, ptg, p, ctx.ntt.pinv[:l])
+                while prod.shape[-3] > 1:
+                    m = prod.shape[-3]
+                    if m % 2:
+                        head = prod[..., :1, :, :]
+                        prod = prod[..., 1:, :, :]
+                        first = add_mod(prod[..., 0, :, :],
+                                        head[..., 0, :, :], p)
+                        prod = prod.at[..., 0, :, :].set(first)
+                        m -= 1
+                    prod = add_mod(prod[..., : m // 2, :, :],
+                                   prod[..., m // 2:, :, :], p)
+                return jnp.moveaxis(prod[..., 0, :, :], 0, -3)
+            prod = mont_mul(babies, ptg[..., :, None, :, :], p,
+                            ctx.ntt.pinv[:l])
+            while prod.shape[-4] > 1:
+                m = prod.shape[-4]
                 if m % 2:
-                    head = prod[..., :1, :, :]
-                    prod = prod[..., 1:, :, :]
-                    first = add_mod(prod[..., 0, :, :],
-                                    head[..., 0, :, :], p)
-                    prod = prod.at[..., 0, :, :].set(first)
+                    head = prod[..., :1, :, :, :]
+                    prod = prod[..., 1:, :, :, :]
+                    first = add_mod(prod[..., 0, :, :, :],
+                                    head[..., 0, :, :, :], p)
+                    prod = prod.at[..., 0, :, :, :].set(first)
                     m -= 1
-                prod = add_mod(prod[..., : m // 2, :, :],
-                               prod[..., m // 2:, :, :], p)
-            return jnp.moveaxis(prod[..., 0, :, :], 0, -3)
+                prod = add_mod(prod[..., : m // 2, :, :, :],
+                               prod[..., m // 2:, :, :, :], p)
+            return prod[..., 0, :, :, :]
 
         def giant_chunk(babies, ptc, perms, kbs, kas):
             """One batched chunk of giant groups -> their rotated partial

@@ -30,7 +30,7 @@ if [ "$PHASE" = fe ]; then
   # (17.4G > 15.75G; see the contract() layout note in ops/bsgs.py)
   step fe24boot BENCH_D=2048 BENCH_F=8192 BENCH_N=16384 BENCH_BLOCKS=24 \
     BENCH_BOOTSTRAP=1 BENCH_BOOT_LEVEL=9 BENCH_PASSES=2 \
-    FHE_GIANT_CHUNK=2 FHE_BABY_CHUNK=8 FHE_XS_CACHE=1 FHE_COMPILE_CACHE=0 \
+    FHE_GIANT_CHUNK=2 FHE_BABY_CHUNK=8 FHE_XS_CACHE=1 FHE_COMPILE_CACHE=0 FHE_CONTRACT_LAYOUT=lead \
     python bench_fully_enc.py
 fi
 
