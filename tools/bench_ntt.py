@@ -11,6 +11,10 @@ Env: NTT_N (8192), NTT_ROWS (41), NTT_REPS (20), NTT_N1 (128).
 import json
 import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import os
+import sys
 import time
 
 import numpy as np
