@@ -29,8 +29,11 @@ from .modops import mont_mul, add_mod
 __all__ = ["ntt_fourstep_pallas"]
 
 
-def _limb_dot(a8, x_u32, dot_impl):
-    """a8: [5M, K] int8 limbs, x_u32: [K, J] uint32 -> S [5, M, 5, J] u32.
+def _limb_dot(a8, x_u32, dot_impl, flat: bool = False):
+    """a8: [5M, K] int8 limbs, x_u32: [K, J] uint32 -> S [5, M, 5, J] u32
+    (flat=True: the raw [5M, 5J] matrix — Mosaic rejects the 2-D -> 4-D
+    reshape with "infer-vector-layout: unsupported shape cast", so the
+    Pallas path keeps the flat grid and _recombine slices blocks).
 
     Splits x into 5 x 7-bit limbs on the fly, runs ONE [5M, K] x [K, 5J]
     contraction, returns the int32 partial-sum grid as uint32."""
@@ -50,19 +53,28 @@ def _limb_dot(a8, x_u32, dot_impl):
                             preferred_element_type=jnp.float32,
                             precision=lax.Precision.HIGHEST)
         S = S.astype(jnp.int32)
+    if flat:
+        return S.astype(jnp.uint32)                  # [5M, 5J]
     m5 = a8.shape[0]
     return S.reshape(5, m5 // 5, 5, j).astype(jnp.uint32)
 
 
-def _recombine(S, csh, p, pinv):
+def _recombine(S, csh, p, pinv, flat_mj=None):
     """S: [5, M, 5, J] u32 limb-pair partial sums -> [M, J] Montgomery
-    product sum via sum_s mont_mul(T_s, 2^(7s) mod p)."""
+    product sum via sum_s mont_mul(T_s, 2^(7s) mod p).  With flat_mj
+    = (M, J), S is the raw [5M, 5J] grid and blocks are SLICED out
+    (Mosaic-compatible; no 4-D reshape)."""
+    if flat_mj is not None:
+        m, j = flat_mj
+        blk = lambda a, b: S[a * m:(a + 1) * m, b * j:(b + 1) * j]
+    else:
+        blk = lambda a, b: S[a, :, b, :]
     out = None
     for s in range(9):
         lo_a = max(0, s - 4)
-        T = S[lo_a, :, s - lo_a, :]
+        T = blk(lo_a, s - lo_a)
         for a in range(lo_a + 1, min(s, 4) + 1):
-            T = T + S[a, :, s - a, :]                 # < 2^24, no overflow
+            T = T + blk(a, s - a)                     # < 2^24, no overflow
         term = mont_mul(T, csh[s], p, pinv)
         out = term if out is None else add_mod(out, term, p)
     return out
