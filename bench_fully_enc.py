@@ -36,6 +36,10 @@ def main():
     blocks = int(os.environ.get("BENCH_BLOCKS", "19"))
     use_boot = os.environ.get("BENCH_BOOTSTRAP", "0") == "1"
     passes = int(os.environ.get("BENCH_PASSES", "2"))
+    # BENCH_WIDTH=2: reference-precision mode (composite ~2^56 scale, 6
+    # limbs/block — target the reference's 9.3e-9 absolute-error bar)
+    width = int(os.environ.get("BENCH_WIDTH_CHAIN", "1"))
+    assert not (use_boot and width == 2), "width-2 + bootstrap not wired"
     baseline = 40.0 if use_boot else 70.0
 
     from fhe_spear_tpu.utils.compile_cache import enable_compilation_cache
@@ -65,7 +69,8 @@ def main():
                                       num_special=special, hamming=64,
                                       dnum=dnum)
     else:
-        limbs = int(os.environ.get("BENCH_LIMBS", str(3 * blocks + 2)))
+        default_l = 6 * blocks + 3 if width == 2 else 3 * blocks + 2
+        limbs = int(os.environ.get("BENCH_LIMBS", str(default_l)))
         special = int(os.environ.get("BENCH_SPECIAL", "8"))
         dnum = int(os.environ.get("BENCH_DNUM", "8"))
         params = CkksParams(n=n, num_limbs=limbs, num_special=special,
@@ -116,7 +121,8 @@ def main():
     log(f"magnitude calibration (target {tmag}, "
         f"{time.perf_counter() - t0:.1f}s)")
 
-    eng = FullyEncryptedFfn(ctx, d, f, seq_chunks=True, stage_mode="i32")
+    eng = FullyEncryptedFfn(ctx, d, f, seq_chunks=True, stage_mode="i32",
+                            width=width)
     # exact-scale encodes depend on the context's prime chain, so the
     # cache key carries a q-chain hash — a different BENCH_LIMBS/preset
     # must never silently reuse another chain's diagonals (ADVICE r3 #4)
@@ -132,14 +138,16 @@ def main():
     xh = hashlib.sha1(np.asarray(x0, dtype=np.float64).tobytes()
                       ).hexdigest()[:8]
     cache = f"/tmp/fe_preenc_{d}_{f}_{blocks}_{n}_q{qh}_x{xh}" + (
-        f"_m{tmag:g}" if tmag != 1.0 else "")
+        f"_m{tmag:g}" if tmag != 1.0 else "") + (
+        f"_w{width}" if width != 1 else "")
     # exact-alignment encode levels (diagonals are level-specific so the
     # block output scale equals its input scale exactly — no relabel error).
     # For bootstrap runs the refresh output level is set via
     # BENCH_BOOT_LEVEL (a wrong guess self-corrects: the runner re-encodes
     # on mismatch and later passes hit steady state).
     boot_lv = int(os.environ.get("BENCH_BOOT_LEVEL", "0")) or None
-    levels = fe_level_schedule(limbs, blocks, boot_level=boot_lv)
+    levels = fe_level_schedule(limbs, blocks, boot_level=boot_lv,
+                               width=width)
     t0 = time.perf_counter()
     hosts = pre_encode_blocks(eng, w_keys, w_vals, cache_dir=cache,
                               log_fn=log, levels=levels)
@@ -192,7 +200,8 @@ def main():
         "metric": f"fully-encrypted FFN s/block D={d} F={f} N={n} "
                   f"{len(final)} blocks"
                   + (f" ({n_boot} bootstraps)" if use_boot else
-                     " (no bootstrap)"),
+                     " (no bootstrap)")
+                  + (" width-2" if width == 2 else ""),
         "value": round(per_block, 3),
         "unit": "s/block",
         "vs_baseline": round(baseline / per_block, 3),

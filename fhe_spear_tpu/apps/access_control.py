@@ -86,8 +86,18 @@ def detect_pii(text: str):
 
 
 def classify_passage(text: str) -> set:
-    return {CLASS_MAP[s["type"]] for s in detect_pii(text)
-            if s["type"] in CLASS_MAP}
+    """Sensitivity classes present in `text`.
+
+    Merged spans carry '+'-joined type names (detect_pii), so each span
+    contributes the classes of ALL its constituent types — e.g. a
+    "30% of patients" span merged as PERCENT+MEDICAL_STAT yields both
+    financial and medical (reference fhe_access_control.py:69-76)."""
+    classes = set()
+    for span in detect_pii(text):
+        for kind in span["type"].split("+"):
+            if kind in CLASS_MAP:
+                classes.add(CLASS_MAP[kind])
+    return classes
 
 
 @dataclass

@@ -106,24 +106,78 @@ class CkksParams:
     def scale(self) -> float:
         return float(2.0 ** self.scale_bits)
 
+    # -- security accounting ----------------------------------------------
+    #
+    # Max log2(Q*P) for 128-bit classical security with a ternary secret,
+    # per the homomorphicencryption.org standard tables.  A preset whose
+    # modulus exceeds this ceiling at its ring dimension does NOT provide
+    # 128-bit security and is classified research-grade below.
+    _LOGQP_128BIT = {1024: 27, 2048: 54, 4096: 109, 8192: 218,
+                     16384: 438, 32768: 881}
+
+    @property
+    def log_qp(self) -> int:
+        """Approximate total modulus bits log2(Q*P): q0 (~first_bits) +
+        (L-1) scale primes (~scale_bits) + K special primes (~31 bits,
+        core/primes.py:90-99)."""
+        return (self.first_bits + (self.num_limbs - 1) * self.scale_bits
+                + 31 * self.num_special)
+
+    def security_statement(self) -> str:
+        """Honest security classification of this parameter set.
+
+        "standard-128": log2(QP) is within the 128-bit ceiling for this N
+        (dense ternary secret assumed — a sparse secret_hamming_weight
+        weakens this and is flagged).  "research-grade": the modulus
+        chain exceeds every standard ceiling — these deep chains mirror
+        the reference's own parameter philosophy (its N=16384 36x54-bit
+        bootstrap config is equally outside the tables,
+        test_fully_enc_bsgs.py:238-267) and exist to measure FHE compute,
+        not to deploy as-is."""
+        ceiling = self._LOGQP_128BIT.get(self.n)
+        lqp = self.log_qp
+        if ceiling is not None and lqp <= ceiling \
+                and self.secret_hamming_weight is None:
+            return (f"standard-128: log2(QP)~{lqp} <= {ceiling} "
+                    f"(128-bit ceiling at N={self.n}, dense ternary secret)")
+        reasons = []
+        if ceiling is None or lqp > ceiling:
+            reasons.append(f"log2(QP)~{lqp} > {ceiling} "
+                           f"(128-bit ceiling at N={self.n})")
+        if self.secret_hamming_weight is not None:
+            reasons.append(f"sparse secret h={self.secret_hamming_weight} "
+                           "(below dense-ternary table assumptions)")
+        return "research-grade: " + "; ".join(reasons)
+
     # -- presets mirroring the reference's three context regimes (C1) -----
 
     @classmethod
     def retrieval(cls, n: int = 8192) -> "CkksParams":
         """CT-PT/CT-CT retrieval: one multiply + rescale
-        (fhe_common.py:84-96: N=8192, [60,40,40,60])."""
+        (fhe_common.py:84-96: N=8192, [60,40,40,60]).
+
+        Security: standard-128 at the default N=8192 (log2(QP)~118 of a
+        218-bit ceiling); see security_statement()."""
         return cls(n=n, num_limbs=3, num_special=1)
 
     @classmethod
     def client_aided(cls, n: int = 8192) -> "CkksParams":
         """1-level BSGS round trips (the reference's A100 headline
-        config N=8192, L0=3, P=1 — scripts/bootstrap_generation.py:1654)."""
+        config N=8192, L0=3, P=1 — scripts/bootstrap_generation.py:1654).
+
+        Security: standard-128 at the default N=8192 (log2(QP)~118 of
+        218); see security_statement()."""
         return cls(n=n, num_limbs=3, num_special=1)
 
     @classmethod
     def deep(cls, n: int, depth: int, num_special: int = 1) -> "CkksParams":
         """Fully-encrypted chains: depth limbs + q0
-        (fhe_rwkv_inference.py:30-44; CKKSBootstrapContext L0)."""
+        (fhe_rwkv_inference.py:30-44; CKKSBootstrapContext L0).
+
+        Security: research-grade at production depths — a 59-limb 28-bit
+        chain at N=8192 has log2(QP)~1900, far beyond any standard
+        128-bit table (the reference's N=16384 deep configs are equally
+        outside); see security_statement()."""
         return cls(n=n, num_limbs=depth + 1, num_special=num_special)
 
     @classmethod
@@ -132,7 +186,11 @@ class CkksParams:
         """Bootstrappable: sparse secret + deep chain
         (CKKSBootstrapContext with bootstrapper, bootstrap_generation.py:61).
         At production ring sizes pass dnum (e.g. 6) + num_special ~ 4 so
-        the ~126 C2S/S2C rotation keys fit in memory."""
+        the ~126 C2S/S2C rotation keys fit in memory.
+
+        Security: research-grade — deep modulus chain plus a sparse
+        secret (h=64), both outside standard 128-bit table assumptions;
+        see security_statement()."""
         return cls(n=n, num_limbs=num_limbs, num_special=num_special,
                    secret_hamming_weight=hamming, dnum=dnum)
 
@@ -370,7 +428,15 @@ class CkksContext:
         (rotation ≡ 0 mod slots) so every lane runs the same keyswitch
         code; also keeps the sharded BSGS body uniform across devices."""
         if not hasattr(self, "_identity_ksk"):
-            self._identity_ksk = self._make_ksk(self.s_eval)
+            ksk = self._make_ksk(self.s_eval)
+            # a lazily-created identity key after shard_eval_keys() must
+            # get the same limb padding + placement as every other eval
+            # key, or a later jnp.stack with padded rotation keys fails
+            # on shape mismatch (ADVICE r4 #3; mirrors the ensure_galois
+            # hook above)
+            if getattr(self, "_eval_key_sharding", None) is not None:
+                ksk = KeySwitchKey(*self._eval_key_put(ksk.b, ksk.a))
+            self._identity_ksk = ksk
         return self._identity_ksk
 
     def _make_ksk(self, sprime_eval: jnp.ndarray) -> KeySwitchKey:
@@ -533,7 +599,8 @@ class CkksContext:
         """Encode complex/real slots into an NTT-domain plaintext."""
         level = self.L if level is None else level
         scale = self.scale if scale is None else scale
-        coeffs = self.encoder.encode(np.asarray(vec), scale)
+        coeffs = self.encoder.encode(np.asarray(vec), scale,
+                                     wide=scale > 2.0 ** 31)
         rows = tuple(range(level))
         return Plaintext(self._to_eval_mont(coeffs, rows), scale)
 
@@ -565,7 +632,10 @@ class CkksContext:
         scripts/bootstrap_generation.py:122-133)."""
         level = self.L if level is None else level
         scale = self.scale if scale is None else scale
-        coeffs = self.encoder.encode(np.asarray(vec), scale)
+        # composite (width-2) scales exceed the int32 encode word; the
+        # reduce below is host-side int64-exact, so just widen the bound
+        coeffs = self.encoder.encode(np.asarray(vec), scale,
+                                     wide=scale > 2.0 ** 31)
         rows = tuple(range(level))
         lead = coeffs.shape[:-1]
         m = jnp.asarray(self._reduce_rows(coeffs, rows))
@@ -603,17 +673,25 @@ class CkksContext:
         Uses the first min(2, level) limbs only: with one limb the value is
         exact while |v| < q0/2 (headroom ~8x the scale); at level >= 2 a
         two-limb uint64 CRT raises headroom to q0*q1/2 (~2^30 x the scale),
-        enough for any RWKV activation or logit magnitude.  No
-        multiprecision arithmetic is ever needed.
+        enough for any RWKV activation or logit magnitude.  A ciphertext
+        at a composite (width-2, ~2^56) scale carries ~2^56-2^58
+        coefficients — past the 2-limb range — so those use a third limb
+        (|v| < 2^62 int64-exact; see compose_coeffs).  No multiprecision
+        arithmetic is ever needed.
         """
-        nl = min(2, ct.level)
+        nl = min(3 if ct.scale > 2.0 ** 40 else 2, ct.level)
         limbs = np.asarray(self._j_dec_cached(ct.level, nl)(ct.c))
         return self.compose_coeffs(limbs)
 
     def compose_coeffs(self, limbs: np.ndarray) -> np.ndarray:
-        """uint32 residue limbs [..., nl, N] (nl = 1 or 2, coefficient
+        """uint32 residue limbs [..., nl, N] (nl = 1, 2 or 3, coefficient
         domain, plain) -> centered float64 coefficients via exact uint64
-        CRT.  Shared by decrypt and the fused-round-trip client path."""
+        CRT.  Shared by decrypt and the fused-round-trip client path.
+
+        nl=3 (composite-scale decrypt): the 2-limb value v01 is lifted
+        with a centered third-limb correction k = [(t2 - v01)/q0q1 mod q2]
+        so v = v01 + q0*q1*k — exact in int64 while |v| < 2^62 (always
+        true for well-formed width-2 ciphertexts: |coeff| <~ mag*2^56)."""
         limbs = limbs.astype(np.uint64)
         q0 = int(self.q_np[0])
         if limbs.shape[-2] == 1:
@@ -627,9 +705,19 @@ class CkksContext:
         m1 = d * q0inv % np.uint64(q1)
         v = t0 + np.uint64(q0) * m1          # exact: < q0*q1 < 2^62
         big = q0 * q1
-        out = v.astype(np.float64)
-        out[v > big // 2] -= float(big)
-        return out
+        if limbs.shape[-2] == 2:
+            out = v.astype(np.float64)
+            out[v > big // 2] -= float(big)
+            return out
+        q2 = int(self.q_np[2])
+        t2 = limbs[..., 2, :]
+        q01inv = np.uint64(pow(big % q2, -1, q2))
+        d2 = (t2 + np.uint64(q2) - v % np.uint64(q2)) % np.uint64(q2)
+        k = (d2 * q01inv % np.uint64(q2)).astype(np.int64)
+        k[k > q2 // 2] -= q2                 # centered: |k| small for
+        #                                      well-formed values
+        vi = v.astype(np.int64) + np.int64(big) * k
+        return vi.astype(np.float64)
 
     @functools.lru_cache(maxsize=None)
     def _j_dec_cached(self, level, nl):

@@ -67,11 +67,15 @@ class SlotEncoder:
         vals = np.fft.ifft(a * self._zeta_pow, axis=-1) * self.n
         return vals[..., self._t_slot]
 
-    def encode(self, z: np.ndarray, scale: float) -> np.ndarray:
+    def encode(self, z: np.ndarray, scale: float,
+               wide: bool = False) -> np.ndarray:
         """Slots -> integer coefficient vector (int64, centered).
 
         Pads z with zeros up to the slot count.  Raises if the scaled
         coefficients overflow the 2^31 device word (q0 headroom violated).
+        wide=True raises the bound to 2^62 instead — for composite
+        (width-2, ~2^56) scales whose consumers reduce the int64
+        coefficients host-side or via the two-plane staging split.
         """
         z = np.asarray(z)
         if z.shape[-1] < self.slots:
@@ -79,9 +83,10 @@ class SlotEncoder:
             z = np.pad(z, pad)
         coeffs = np.round(self.embed(z) * scale).astype(np.int64)
         limit = np.abs(coeffs).max(initial=0)
-        if limit >= (1 << 31):
+        bound = (1 << 62) if wide else (1 << 31)
+        if limit >= bound:
             raise OverflowError(
-                f"encoded coefficient magnitude {limit} >= 2^31; "
+                f"encoded coefficient magnitude {limit} >= 2^{62 if wide else 31}; "
                 f"reduce message magnitude or scale ({scale})"
             )
         return coeffs

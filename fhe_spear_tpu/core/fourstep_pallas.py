@@ -184,12 +184,18 @@ def _ntt_fourstep_pallas_2d(fs, x, rows=None, dot_impl: str = "f32",
         for b in range(bsz):
             v = x_ref[0, b].reshape(n1, n2)              # row split
             v = mont_mul(v, psi_ref[0], pq, piv)         # twist
-            # column DFT over j1: ONE 2-D limb matmul [5n1, n1] x [n1, n2]
-            a = _recombine(_limb_dot(w1_ref[0], v, dot_impl), cs, pq, piv)
+            # column DFT over j1: ONE 2-D limb matmul [5n1, n1] x [n1, n2].
+            # flat=True keeps the [5n1, 5n2] partial-sum grid 2-D and
+            # _recombine SLICES limb blocks out — the 2-D -> 4-D reshape
+            # of the default path is the "infer-vector-layout: unsupported
+            # shape cast" Mosaic rejects (ADVICE r4 #1).
+            a = _recombine(_limb_dot(w1_ref[0], v, dot_impl, flat=True),
+                           cs, pq, piv, flat_mj=(n1, n2))
             a = mont_mul(a, tw_ref[0], pq, piv)          # twiddle [n1, n2]
             # row DFT over j2: 2-D transpose + 2-D limb matmul
             at = a.T                                     # [n2, n1]
-            bb = _recombine(_limb_dot(w2_ref[0], at, dot_impl), cs, pq, piv)
+            bb = _recombine(_limb_dot(w2_ref[0], at, dot_impl, flat=True),
+                            cs, pq, piv, flat_mj=(n2, n1))
             out_ref[0, b] = bb.reshape(n)                # k = k2*n1 + k1
     grid = (r,)
     row3 = lambda i: (i, 0, 0)

@@ -6,7 +6,9 @@ measure_noise_constant: encrypts random unit vectors, scores them CT-CT
 through the column-packed engine, and fits sigma_eps = c * sqrt(d) across
 dims.  validate() runs the reference's 4 pass/fail bands
 (/root/reference/fhesim/validate.py:73-209):
-  1. fitted c within [0.5, 2.0]x of the shipped constant
+  1. fitted c within [0.8, 1.2]x of the shipped constant (the
+     reference's band; measured over 7 seeds on this backend the fitted
+     ratio spans 0.978-1.054, mean 1.014, std 0.032 — docs/NOTES_r5.md)
   2. formula prediction error < 0.10 against measured correlations
   3. simulated vs real top-k overlap >= 6/10
   4. per-context bias std consistent with the shipped bias model
@@ -89,7 +91,7 @@ def validate(ctx, seed=0, verbose=True):
     ratio = c_meas / sim.c
     results["noise_constant"] = {"measured": c_meas, "shipped": sim.c,
                                  "ratio": ratio,
-                                 "pass": 0.5 <= ratio <= 2.0}
+                                 "pass": 0.8 <= ratio <= 1.2}
 
     # 2. formula error vs measured correlation
     d = 32

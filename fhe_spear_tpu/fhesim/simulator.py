@@ -250,12 +250,17 @@ class FheAccuracySimulator:
     @staticmethod
     def _recommend(sim_std, rho, opt_dim, target):
         if sim_std < 0.01:
-            return "Embeddings have no variance."
+            return ("Similarity scores are nearly constant across this "
+                    "corpus; encrypted retrieval cannot rank it.")
         dim = target or opt_dim
         if rho >= 0.90:
-            return f"Use SVD to {dim}d. Expected {rho:.0%} correlation."
+            return (f"SVD-compress to {dim} dims; predicted score "
+                    f"correlation under encryption: {rho:.0%}.")
         if rho >= 0.70:
-            return f"Use {opt_dim}d. Expected {rho:.0%} correlation."
+            return (f"Better at {opt_dim} dims (predicted {rho:.0%} "
+                    f"score correlation).")
         if rho >= 0.50:
-            return f"Expected {rho:.0%}. Consider larger N."
-        return f"Expected {rho:.0%}. May need parameter changes."
+            return (f"Predicted correlation only {rho:.0%} — a larger "
+                    f"ring (N) would lower the noise floor.")
+        return (f"Predicted correlation {rho:.0%}; this configuration "
+                f"needs different CKKS parameters or embeddings.")

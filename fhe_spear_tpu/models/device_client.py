@@ -91,12 +91,19 @@ class DeviceTokenRunner:
         # reuse another model's diagonals (the ADVICE r3 #4 silent-reuse
         # class; bench_fully_enc had exactly this bug via its calibration
         # input — docs/NOTES_r4.md)
-        mh = hashlib.sha1(
-            np.ascontiguousarray(self.model.blocks[0].W_r).tobytes()
-            + np.ascontiguousarray(self.model.blocks[-1].W_val_ffn)
-            .tobytes()).hexdigest()[:8]
+        def block_hash(blk):
+            # hash every tensor this builder encodes for the block — a
+            # model differing in ANY of them (middle blocks included,
+            # ADVICE r4 #2) must miss the cache
+            h = hashlib.sha1()
+            for w in (blk.W_r, blk.W_k, blk.W_v, blk.W_o,
+                      blk.W_key_ffn, blk.W_val_ffn):
+                h.update(np.ascontiguousarray(w).tobytes())
+            return h.hexdigest()[:8]
+
         stacks = {"rkv": [], "o": [], "fk": [], "fv": []}
         for bi, blk in enumerate(self.model.blocks):
+            mh = block_hash(blk)
             bdir = (os.path.join(cache_dir,
                                  f"dc{bi}_{d}_{self.f}_{self.ctx.n}_{mh}")
                     if cache_dir else None)

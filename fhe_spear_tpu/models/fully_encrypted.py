@@ -21,6 +21,7 @@ fewer than 4 limbs remain, via a caller-provided bootstrap function
 from __future__ import annotations
 
 import functools
+import os
 import time
 
 import numpy as np
@@ -72,7 +73,7 @@ class FullyEncryptedFfn:
 
     def __init__(self, ctx: CkksContext, d: int, f: int,
                  seq_chunks: bool = False, stage_mode: str = "expanded",
-                 key_sharding=None):
+                 key_sharding=None, width: int = 1):
         """seq_chunks: evaluate the F/D chunk axis with `lax.map`
         (sequential, one transient chunk live) instead of vmap — the
         memory-bounding analogue of the reference's batch-1024 full-scale
@@ -93,10 +94,30 @@ class FullyEncryptedFfn:
         lets the N=16384/L=59 reference-scale chain — whose keys + one
         level stack alone exceed a single v5e's HBM (docs/NOTES_r3.md
         postmortem) — run across 2+ chips; results are bitwise identical
-        to the single-chip kernel."""
+        to the single-chip kernel.
+
+        width: working-scale width in limbs.  width=2 runs the chain at a
+        COMPOSITE scale Delta_2 ~ 2^56 (two rescales per stage, 6
+        limbs/block instead of 3): every noise source that is absolute in
+        integer units — plaintext-encode rounding, keyswitch/mod-down
+        noise, rescale rounding — drops by ~2^28 relative, closing the
+        absolute-error gap to the reference's 59-bit-prime backend
+        (9.3e-9 over 19 blocks, paper/main.tex:1130; VERDICT r4 #4).
+        Diagonals use the two-plane int64-split staging (encode_wide),
+        the input is encrypted at ctx.scale**2, and decryption uses the
+        3-limb CRT path.  Requires exact (level-scheduled) pre-encodes."""
+        if width not in (1, 2):
+            raise ValueError(f"width must be 1 or 2, got {width}")
+        self.width = width
         self.ctx = ctx
         self.d, self.f = d, f
-        self.eng = BsgsMatvec(ctx, d, key_sharding=key_sharding)
+        # deep chains walk ~40 distinct levels; per-level key-stack
+        # gathers cost ~9-23 s each through the tunnel (docs/NOTES_r4.md)
+        # -> opt in to level-independent full key stacks here (the
+        # class default is off for shallow/single-level engines)
+        fks = os.environ.get("FHE_FULL_KEY_STACKS")
+        self.eng = BsgsMatvec(ctx, d, key_sharding=key_sharding,
+                              full_key_stacks=(fks != "0"))
         self.n_chunks = -(-f // d)
         self.seq_chunks = seq_chunks
         self.stage_mode = stage_mode
@@ -110,9 +131,21 @@ class FullyEncryptedFfn:
         s_x = Delta), so the residual add needs no scale relabel.  With
         level-agnostic Delta encodes, the relabel injects a
         signal-proportional ~|q_i/Delta - 1| ~ 3e-2 error per block — the
-        round-3 fe19 numerics gap (docs/NOTES_r3.md)."""
-        assert level >= 4, f"consume level must be >= 4, got {level}"
+        round-3 fe19 numerics gap (docs/NOTES_r3.md).
+
+        width=2: the chain invariant is s_x = Delta_2 = ctx.scale^2; key
+        diagonals at s_key = q[l-1]*q[l-2] (two rescales -> s_fk = s_x),
+        value diagonals at s_val = q[l-3]*q[l-4]*q[l-5]*q[l-6]/Delta_2
+        (s_fv = s_sq*s_val/(q[l-5]q[l-6]) = s_x exactly)."""
         q = self.ctx.q_np
+        if self.width == 2:
+            assert level >= 7, f"width-2 consume level must be >= 7, got {level}"
+            s_key = float(q[level - 1]) * float(q[level - 2])
+            s_val = (float(q[level - 3]) * float(q[level - 4])
+                     * float(q[level - 5]) * float(q[level - 6])
+                     / self.ctx.scale ** 2)
+            return s_key, s_val
+        assert level >= 4, f"consume level must be >= 4, got {level}"
         s_key = float(q[level - 1])
         s_val = float(q[level - 2]) * float(q[level - 3]) / self.ctx.scale
         return s_key, s_val
@@ -123,8 +156,15 @@ class FullyEncryptedFfn:
 
         With `level` (the level this block will be CONSUMED at), diagonals
         are encoded at the exact-alignment scales of `diag_scales`;
-        without, at Delta (legacy, relabel error ~3e-2/block)."""
-        d, enc = self.d, self.eng.encode
+        without, at Delta (legacy, relabel error ~3e-2/block).  width=2
+        requires `level` (composite scales are level-specific by nature)
+        and produces two-plane int64-split stacks [k, B, G, 2, N]."""
+        d = self.d
+        if self.width == 2:
+            assert level is not None, "width-2 encodes require a level"
+            enc = self.eng.encode_wide
+        else:
+            enc = self.eng.encode
         s_key = s_val = None
         if level is not None:
             s_key, s_val = self.diag_scales(level)
@@ -148,7 +188,9 @@ class FullyEncryptedFfn:
         key at `level`, val at `level - 2` (i32 mode: device-put the int32
         coefficients unchanged; kernels expand per giant group)."""
         ctx = self.ctx
-        if self.stage_mode == "i32":
+        if self.stage_mode == "i32" or self.width == 2:
+            # width-2 planes stay int32 regardless of stage_mode — the
+            # wide expansion happens in-kernel (rns_expand_wide)
             out = {"key": jnp.asarray(host["key"]),
                    "val": jnp.asarray(host["val"])}
         else:
@@ -160,7 +202,9 @@ class FullyEncryptedFfn:
         return out
 
     def __call__(self, ct_x: Ciphertext, staged: dict) -> Ciphertext:
-        """One fully-encrypted block; level l -> l-3."""
+        """One fully-encrypted block; level l -> l-3 (width 2: l -> l-6)."""
+        if self.width == 2:
+            return self._call_wide(ct_x, staged)
         ctx, l = self.ctx, ct_x.level
         assert l >= 4, f"need >= 4 limbs, have {l} (bootstrap first)"
         q = ctx.q_np
@@ -194,9 +238,40 @@ class FullyEncryptedFfn:
         x_sc = x_al if x_al.scale == tgt else ctx.set_scale(x_al, tgt)
         return ctx.add(x_sc, v_ct)
 
+    def _call_wide(self, ct_x: Ciphertext, staged: dict) -> Ciphertext:
+        """width-2 block at the composite scale Delta_2; level l -> l-6.
+        Each stage rescales twice (once inside the matvec kernel, once
+        after), so every absolute noise source is ~2^-56 relative."""
+        ctx, l = self.ctx, ct_x.level
+        assert l >= 7, f"width-2 needs >= 7 limbs, have {l} (bootstrap first)"
+        q = ctx.q_np
+        assert "level" in staged and staged["level"] == l, (
+            f"width-2 diagonals encoded for level {staged.get('level')} "
+            f"but consumed at level {l} — re-encode")
+        s_key, s_val = self.diag_scales(l)
+        # 1. key projection + second rescale: l -> l-2, s_fk = s_x
+        fk = self._shared(l)(ct_x.c, staged["key"])          # [k, 2, l-1, N]
+        fk_ct = ctx.rescale(
+            Ciphertext(fk, ct_x.scale * s_key / float(q[l - 1])))
+        # 2. square + two rescales: l-2 -> l-4
+        sq = ctx.rescale(ctx.rescale(ctx.multiply(fk_ct, fk_ct)))
+        # 3. value projection, chunk-sum at l-5, second rescale: -> l-6
+        fv = self._batched(l - 4)(sq.c, staged["val"])       # [k, 2, l-5, N]
+        v = self._sum_chunks(l - 5)(fv)
+        v_ct = ctx.rescale(
+            Ciphertext(v, sq.scale * s_val / float(q[l - 5])))
+        # 4. residual: scales equal by construction (s_fv = s_x^2/Delta_2
+        # = s_x under the invariant s_x = Delta_2); set_scale unifies the
+        # float tags only
+        x_al = ctx.mod_drop(ct_x, 6)
+        x_sc = (x_al if x_al.scale == v_ct.scale
+                else ctx.set_scale(x_al, v_ct.scale))
+        return ctx.add(x_sc, v_ct)
+
     @functools.lru_cache(maxsize=None)
     def _shared(self, l):
-        raw = self.eng._kernel_raw(l, i32=self.stage_mode == "i32")
+        raw = self.eng._kernel_raw(l, i32=self.stage_mode == "i32",
+                                   wide=self.width == 2)
         if self.seq_chunks:
             j = jax.jit(lambda c, pt, *xs:
                         jax.lax.map(lambda p: raw(c, p, *xs), pt))
@@ -206,7 +281,8 @@ class FullyEncryptedFfn:
 
     @functools.lru_cache(maxsize=None)
     def _batched(self, l):
-        raw = self.eng._kernel_raw(l, i32=self.stage_mode == "i32")
+        raw = self.eng._kernel_raw(l, i32=self.stage_mode == "i32",
+                                   wide=self.width == 2)
         if self.seq_chunks:
             j = jax.jit(lambda c, pt, *xs:
                         jax.lax.map(lambda cp: raw(cp[0], cp[1], *xs),
@@ -231,12 +307,19 @@ class FullyEncryptedFfn:
         return jax.jit(f)
 
 
-def fe_level_schedule(start_level: int, n_blocks: int, min_levels: int = 4,
-                      boot_level: int | None = None) -> list[int | None]:
+def fe_level_schedule(start_level: int, n_blocks: int,
+                      min_levels: int | None = None,
+                      boot_level: int | None = None,
+                      width: int = 1) -> list[int | None]:
     """Per-block CONSUME levels for a chain starting at `start_level`
-    (3 limbs/block; refresh to `boot_level` when fewer than `min_levels`+1
-    remain).  Use to pre-encode blocks at exact-alignment scales.  Without
-    boot_level, blocks past exhaustion get None (never reached)."""
+    (3*width limbs/block; refresh to `boot_level` when fewer than
+    `min_levels`+1 remain).  Use to pre-encode blocks at exact-alignment
+    scales.  Without boot_level, blocks past exhaustion get None (never
+    reached).  min_levels defaults to 4 (width 1) / 8 (width 2 — the
+    output level stays >= 3 so the 3-limb composite-scale decrypt always
+    has its limbs)."""
+    if min_levels is None:
+        min_levels = 4 if width == 1 else 8
     lv, out = start_level, []
     for _ in range(n_blocks):
         if lv - 1 < min_levels:
@@ -245,7 +328,7 @@ def fe_level_schedule(start_level: int, n_blocks: int, min_levels: int = 4,
                 continue
             lv = boot_level
         out.append(lv)
-        lv -= 3
+        lv -= 3 * width
     return out
 
 
@@ -292,12 +375,12 @@ def pre_encode_blocks(eng: "FullyEncryptedFfn", w_keys, w_vals,
 
 
 def run_fully_encrypted(ctx: CkksContext, w_keys, w_vals, x0,
-                        bootstrap_fn=None, min_levels: int = 4,
+                        bootstrap_fn=None, min_levels: int | None = None,
                         verbose: bool = True, return_ct: bool = False,
                         seq_chunks: bool = False, stage_mode: str = "expanded",
                         pre_encoded: list | None = None, eng=None,
                         log_fn=None, calibrated: bool = False,
-                        cache_dir: str | None = None):
+                        cache_dir: str | None = None, width: int = 1):
     """Chain blocks with per-block plaintext verification (the reference's
     main loop, test_fully_enc_bsgs.py:238-298).  Returns per-block stats;
     with return_ct=True returns (stats, final_ciphertext) so a client-side
@@ -314,7 +397,14 @@ def run_fully_encrypted(ctx: CkksContext, w_keys, w_vals, x0,
     d, f = np.asarray(w_keys[0]).shape
     if eng is None:
         eng = FullyEncryptedFfn(ctx, d, f, seq_chunks=seq_chunks,
-                                stage_mode=stage_mode)
+                                stage_mode=stage_mode, width=width)
+    width = eng.width
+    if min_levels is None:
+        min_levels = 4 if width == 1 else 8
+    if width == 2 and bootstrap_fn is not None:
+        raise NotImplementedError(
+            "width-2 chains refresh to ctx.scale, not Delta_2; bootstrap "
+            "integration needs a post-refresh scale-raise (future work)")
     if not calibrated:
         w_keys, w_vals = calibrate_magnitude(w_keys, w_vals, x0)
 
@@ -324,7 +414,8 @@ def run_fully_encrypted(ctx: CkksContext, w_keys, w_vals, x0,
         x_ref = plaintext_ffn_block(x_ref, wk, wv)
         refs.append(x_ref.copy())
 
-    ct = ctx.encrypt_replicated(x0)
+    ct = ctx.encrypt_replicated(
+        x0, scale=ctx.scale ** 2 if width == 2 else None)
     stats = []
     n_boot = 0
     say = log_fn if log_fn else (print if verbose else None)

@@ -44,6 +44,14 @@ __all__ = ["bsgs_dims", "BsgsMatvec", "DiagonalMatvec", "EncodedDiagonals",
            "extract_diagonals"]
 
 
+def _split_i64(coeffs: np.ndarray) -> np.ndarray:
+    """int64 [..., N] -> int32 planes [..., 2, N] with value =
+    hi*2^31 + lo, lo in [0, 2^31) (two's-complement exact for negatives)."""
+    lo = (coeffs & np.int64(0x7FFFFFFF)).astype(np.int32)
+    hi = (coeffs >> np.int64(31)).astype(np.int32)
+    return np.stack([lo, hi], axis=-2)
+
+
 def bsgs_dims(d: int) -> tuple[int, int]:
     """(G, B): G = ceil(sqrt(D)) baby steps, B = ceil(D/G) giant groups
     (scripts/bootstrap_generation.py:29-32)."""
@@ -116,8 +124,13 @@ class BsgsMatvec:
         ~27 s of the 33 s/block fe19 pass-2 time, docs/NOTES_r4.md);
         the full stack makes that a one-time cost.  At the deepest level
         the selected stack is the same size as the full one, so resident
-        memory is unchanged where it matters.  Defaults to on when the
-        env FHE_FULL_KEY_STACKS is unset; key_sharding implies it."""
+        memory is unchanged for the deepest-level engine — but an engine
+        used at ONE shallow level (bootstrap stage matvecs, the L=3 token
+        paths) would pin (L+K)/T more than its selected slice, so the
+        class default is OFF (ADVICE r4 #5); the deep-chain runtime
+        (FullyEncryptedFfn) opts in explicitly.  Env FHE_FULL_KEY_STACKS
+        (0/1) overrides the default when the argument is None;
+        key_sharding implies it."""
         import os
 
         assert ctx.slots % d == 0, (d, ctx.slots)
@@ -129,7 +142,7 @@ class BsgsMatvec:
         self.key_sharding = key_sharding
         if full_key_stacks is None:
             full_key_stacks = os.environ.get("FHE_FULL_KEY_STACKS",
-                                             "1") == "1"
+                                             "0") == "1"
         self.full_key_stacks = bool(full_key_stacks) or (
             key_sharding is not None)
         ctx.ensure_galois(self.baby_steps + self.giant_steps)
@@ -145,6 +158,22 @@ class BsgsMatvec:
         tiled = np.tile(diags, (1, 1, ctx.slots // self.d))     # [B, G, slots]
         coeffs = _encode_slot_array(ctx, tiled, scale)
         return EncodedDiagonals(coeffs, scale, self.d)
+
+    def encode_wide(self, w: np.ndarray, scale: float) -> EncodedDiagonals:
+        """Composite-scale (width-2, scale ~ 2^56) diagonal pre-encode:
+        int64 coefficients split into two int32 planes [B, G, 2, N]
+        (value = hi*2^31 + lo; see rns_expand_wide).  The encode rounding
+        error drops from 2^-28 to ~2^-53 relative — the precision source
+        of the width-2 fully-encrypted chain (VERDICT r4 #4)."""
+        ctx = self.ctx
+        diags = extract_diagonals(w, self.d)
+        tiled = np.tile(diags, (1, 1, ctx.slots // self.d))
+        coeffs = np.round(ctx.encoder.embed(tiled) * scale).astype(np.int64)
+        limit = np.abs(coeffs).max(initial=0)
+        assert limit < (1 << 62), (
+            f"wide-encoded coefficient magnitude {limit} >= 2^62 "
+            f"(scale {scale:g})")
+        return EncodedDiagonals(_split_i64(coeffs), scale, self.d)
 
     # -- device staging ----------------------------------------------------
 
@@ -241,7 +270,7 @@ class BsgsMatvec:
         return self._xs_cache[l]
 
     @functools.lru_cache(maxsize=None)
-    def _kernel_raw(self, l: int, i32: bool = False):
+    def _kernel_raw(self, l: int, i32: bool = False, wide: bool = False):
         """kernel(c, pt, bp, bkb, bka, gp, gkb, gka) — all data as args.
 
         i32=True: pt arrives as int32 coefficient encodings [B, G, N] and
@@ -249,6 +278,10 @@ class BsgsMatvec:
         chunks — a bounded transient regardless of B or l, which is what
         lets deep chains (l ~ 60) and 24-resident-block models run without
         materializing [B, G, l, N].
+
+        wide=True (implies staged coefficients): pt is the two-plane
+        int64-split format [B, G, 2, N] of `encode_wide`, expanded with
+        rns_expand_wide — the composite-scale width-2 staging.
 
         Layout strategy (measured on v5e, docs/NOTES_r3.md): the G-1 baby
         keyswitches are independent, and the B-1 giant groups only share
@@ -263,8 +296,12 @@ class BsgsMatvec:
         ctx = self.ctx
         p, _ = ctx._p(l)
         chunk = max(1, int(os.environ.get("FHE_GIANT_CHUNK", "8")))
-        expand = (lambda ptg: rns_expand(ctx, ptg, l)) if i32 else (
-            lambda ptg: ptg)
+        if wide:
+            expand = lambda ptg: rns_expand_wide(ctx, ptg, l)
+        elif i32:
+            expand = lambda ptg: rns_expand(ctx, ptg, l)
+        else:
+            expand = lambda ptg: ptg
 
         def rotate_with(c, D1, perm, kb, ka):
             """Rotate ct (given its hoisted digits D1) by one stacked key."""
@@ -420,7 +457,7 @@ class DiagonalMatvec(BsgsMatvec):
         self.key_sharding = key_sharding
         if full_key_stacks is None:
             full_key_stacks = os.environ.get("FHE_FULL_KEY_STACKS",
-                                             "1") == "1"
+                                             "0") == "1"
         self.full_key_stacks = bool(full_key_stacks) or (
             key_sharding is not None)
         s = ctx.slots
@@ -494,6 +531,38 @@ def rns_expand(ctx: CkksContext, coeffs: jnp.ndarray, level: int
     t32 = jnp.asarray((((1 << 32) % ctx.q_np[list(rows)])[:, None])
                       .astype(np.uint32))
     r = jnp.where(coeffs[..., None, :] < 0, sub_mod(r, t32, p), r)
+    return ntt.to_mont(ntt.ntt(r, rows), rows)
+
+
+def rns_expand_wide(ctx: CkksContext, planes: jnp.ndarray, level: int
+                    ) -> jnp.ndarray:
+    """Two-plane int64-split coefficient encodings [..., 2, N] -> NTT/Mont
+    residues [..., l, N].
+
+    Plane 0 (lo) holds the low 31 bits (non-negative), plane 1 (hi) the
+    signed high part: value = hi * 2^31 + lo, |value| < 2^62 — the wide
+    staging word for composite-scale (width-2, ~2^56) diagonal encodes
+    that the int32 format of `rns_expand` cannot carry (VERDICT r4 #4).
+    Same bounded-transient property: [..., 2, N] int32 resident, expanded
+    per giant group in-kernel."""
+    rows = tuple(range(level))
+    ntt = ctx.ntt
+    p = _sel(ntt.p, rows)
+    mu = _sel(ctx.mu, rows)
+    pinv = _sel(ntt.pinv, rows)
+    lo = planes[..., 0, :]
+    hi = planes[..., 1, :]
+    r_lo = barrett_reduce(lo.astype(jnp.uint32)[..., None, :], p, mu)
+    r_hi = barrett_reduce(hi.astype(jnp.uint32)[..., None, :], p, mu)
+    t32 = jnp.asarray((((1 << 32) % ctx.q_np[list(rows)])[:, None])
+                      .astype(np.uint32))
+    r_hi = jnp.where(hi[..., None, :] < 0, sub_mod(r_hi, t32, p), r_hi)
+    # hi * 2^31 mod p via one Montgomery multiply: mont_mul(a, b) =
+    # a*b*2^-32, so b = (2^63 mod p) yields a*2^31 exactly
+    c63 = jnp.asarray(((np.uint64(1) << np.uint64(63))
+                       % ctx.q_np[list(rows)].astype(np.uint64)
+                       ).astype(np.uint32)[:, None])
+    r = add_mod(mont_mul(r_hi, c63, p, pinv), r_lo, p)
     return ntt.to_mont(ntt.ntt(r, rows), rows)
 
 

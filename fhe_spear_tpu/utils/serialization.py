@@ -106,7 +106,15 @@ def load_eval_keys(path: str, ctx) -> None:
     SAME params (the context's own random secret/relin key are replaced;
     an sk-less server context evaluates bitwise-identically to the key
     owner's).  Cached jitted kernels that baked the old keys in as traced
-    constants (multiply/rotate/hoisting) are dropped."""
+    constants (multiply/rotate/hoisting) are dropped.
+
+    Call this BEFORE constructing engines (BsgsMatvec / model runtimes):
+    an engine built earlier keeps stale stacked copies of the OLD keys in
+    its `_xs_cache` and will keep evaluating with them (ADVICE r4 #4).
+    If the context had `shard_eval_keys` applied, the loaded keys are
+    re-padded and re-placed with the stored sharding, so the
+    sharded-context invariant (every eval key padded + limb-sharded)
+    survives the install."""
     import jax.numpy as jnp
 
     from ..ckks.context import KeySwitchKey
@@ -131,6 +139,17 @@ def load_eval_keys(path: str, ctx) -> None:
                                          jnp.asarray(z["id_a"]))
     elif hasattr(ctx, "_identity_ksk"):
         del ctx._identity_ksk
+    # a sharded context's keys must stay padded + placed: re-apply the
+    # stored placement to the freshly loaded (unpadded, host) keys
+    if getattr(ctx, "_eval_key_sharding", None) is not None:
+        put = ctx._eval_key_put
+        ctx.relin_key = KeySwitchKey(*put(ctx.relin_key.b,
+                                          ctx.relin_key.a))
+        for g, k in list(ctx.galois_keys.items()):
+            ctx.galois_keys[g] = KeySwitchKey(*put(k.b, k.a))
+        if hasattr(ctx, "_identity_ksk"):
+            ctx._identity_ksk = KeySwitchKey(*put(ctx._identity_ksk.b,
+                                                  ctx._identity_ksk.a))
     # _j_mul/_j_rotate/_j_hoisted close over key tensors at trace time
     for name in ("_j_mul", "_j_rotate", "_j_hoisted"):
         getattr(type(ctx), name).cache_clear()

@@ -35,6 +35,17 @@ def test_pii_classification():
     assert len(detect_pii(text)) >= 5
 
 
+def test_pii_merged_span_keeps_all_classes():
+    # "30% of patients" matches PERCENT ("30%") and MEDICAL_STAT
+    # ("30% of patients"); the overlap merges into one
+    # PERCENT+MEDICAL_STAT span, which must still contribute BOTH
+    # classes (reference fhe_access_control.py:69-76 splits on '+').
+    text = "The trial found 30% of patients improved."
+    spans = detect_pii(text)
+    assert any("+" in s["type"] for s in spans), spans
+    assert classify_passage(text) == {"financial", "medical"}
+
+
 def test_authorized_exact_unauthorized_destroyed(ctx):
     docs, q, classes = make_corpus()
     corpus = AccessControlledCorpus(ctx, dim=16, noise_scale=100.0, seed=1)

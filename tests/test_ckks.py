@@ -188,3 +188,25 @@ def test_dnum_deep_chain(ctx_dnum):
         ct = ctx.rescale(ctx.multiply(ct, o))
         ref = ref * other
     np.testing.assert_allclose(ctx.decrypt_vec(ct), ref, atol=1e-3)
+
+
+def test_security_statement():
+    """Per-preset security accounting (VERDICT r4 #8): shallow presets
+    meet the 128-bit standard table; deep/bootstrap presets are honestly
+    research-grade."""
+    from fhe_spear_tpu.ckks import CkksParams
+
+    p = CkksParams.retrieval()
+    assert p.log_qp <= 218
+    assert p.security_statement().startswith("standard-128")
+    assert CkksParams.client_aided().security_statement().startswith(
+        "standard-128")
+
+    deep = CkksParams.deep(8192, 58, num_special=12)
+    s = deep.security_statement()
+    assert s.startswith("research-grade") and "218" in s
+
+    boot = CkksParams.bootstrap(16384, 46, 8, dnum=6)
+    s = boot.security_statement()
+    assert s.startswith("research-grade")
+    assert "sparse secret" in s and "438" in s

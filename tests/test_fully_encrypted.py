@@ -132,3 +132,60 @@ def test_timemix_block():
     out_e = eng(ct, eng.encode_block(*w, level=ct.level))
     got_e = ctx.decrypt_vec(out_e, d)
     np.testing.assert_allclose(got_e, want, atol=2e-4)
+
+
+def test_width2_composite_scale_chain():
+    """VERDICT r4 #4: the width-2 chain runs at Delta_2 ~ 2^56 (6
+    limbs/block, two-plane int64-split staging, 3-limb CRT decrypt) and
+    drops the absolute-error floor by ~2^28 — the reference-precision
+    mode (reference: max_err 9.3e-9 over 19 blocks on 59-bit primes,
+    paper/main.tex:1130)."""
+    from fhe_spear_tpu.models.fully_encrypted import (
+        FullyEncryptedFfn, pre_encode_blocks, fe_level_schedule)
+
+    d, f, blocks = 32, 64, 2
+    rng = np.random.default_rng(42)
+    w_keys = [rng.standard_normal((d, f)) / np.sqrt(d) for _ in range(blocks)]
+    w_vals = [rng.standard_normal((f, d)) / np.sqrt(f) for _ in range(blocks)]
+    x0 = np.random.default_rng(4242).uniform(-1, 1, d)
+    wk, wv = calibrate_magnitude(w_keys, w_vals, x0)
+
+    ctx = CkksContext(CkksParams(n=512, num_limbs=15, num_special=2), seed=0)
+    eng = FullyEncryptedFfn(ctx, d, f, stage_mode="i32", width=2)
+    levels = fe_level_schedule(15, blocks, width=2)
+    assert levels == [15, 9]
+    hosts = pre_encode_blocks(eng, wk, wv, levels=levels)
+    stats = run_fully_encrypted(ctx, wk, wv, x0, pre_encoded=hosts,
+                                eng=eng, calibrated=True, verbose=False)
+    assert len(stats) == blocks
+    for s in stats:
+        # width-1 at this config floors at ~3e-6; width 2 reaches ~2e-14
+        assert s["max_err"] < 1e-10, stats
+        assert s["corr"] > 0.9999999999, stats
+    assert stats[-1]["level"] == 3  # 3-limb decrypt keeps its limbs
+
+
+def test_wide_staging_roundtrip():
+    """encode_wide + rns_expand_wide == the direct expanded encode of the
+    same diagonals at the same composite scale (bitwise residues)."""
+    import jax.numpy as jnp
+
+    from fhe_spear_tpu.ops.bsgs import BsgsMatvec, rns_expand_wide
+
+    ctx = CkksContext(CkksParams(n=256, num_limbs=6, num_special=1), seed=7)
+    rng = np.random.default_rng(3)
+    d = 16
+    w = rng.standard_normal((d, d))
+    eng = BsgsMatvec(ctx, d)
+    scale = float(ctx.q_np[5]) * float(ctx.q_np[4])      # composite ~2^56
+    enc = eng.encode_wide(w, scale)
+    got = np.asarray(rns_expand_wide(ctx, jnp.asarray(enc.coeffs), 6))
+
+    # oracle: host-side int64 reduce of the same coefficients
+    from fhe_spear_tpu.ops.bsgs import extract_diagonals
+    diags = extract_diagonals(w, d)
+    tiled = np.tile(diags, (1, 1, ctx.slots // d))
+    coeffs = np.round(ctx.encoder.embed(tiled) * scale).astype(np.int64)
+    res = ctx._reduce_rows(coeffs, tuple(range(6)))
+    want = np.asarray(ctx._j_to_eval_mont(tuple(range(6)))(res))
+    np.testing.assert_array_equal(got, want)
