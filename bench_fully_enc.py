@@ -45,6 +45,10 @@ def main():
     from fhe_spear_tpu.utils.compile_cache import enable_compilation_cache
     enable_compilation_cache()
     import jax
+    if os.environ.get("FHE_FORCE_CPU") == "1":
+        # structural-twin mode: the sitecustomize force-registers the TPU
+        # tunnel and JAX_PLATFORMS env alone is ignored (conftest.py)
+        jax.config.update("jax_platforms", "cpu")
     log(f"devices: {jax.devices()}")
 
     from fhe_spear_tpu.ckks import CkksContext, CkksParams
@@ -161,6 +165,7 @@ def main():
         return
 
     boot_fn = None
+    bt = None
     if use_boot:
         from fhe_spear_tpu.ckks.bootstrap import Bootstrapper
 
@@ -177,6 +182,33 @@ def main():
             margin_bits=int(os.environ.get("BENCH_MARGIN_BITS", "3")))
         boot_fn = bt.bootstrap
         log(f"bootstrapper ({time.perf_counter() - t0:.1f}s)")
+
+    if os.environ.get("FHE_WARM_FREE") == "1":
+        # Warm every engine's stacked keys, then FREE the raw per-element
+        # Galois keys: at N=16384/L=46/dnum=6 the ~200 raw keys (~9 GB)
+        # otherwise sit in HBM next to their stacked copies for the whole
+        # run — the 17.2 GB OOM of the r4 fe24boot attempt.  Sequencing
+        # caps the peak: FE stack first, drop its elements, then one
+        # dummy refresh builds the bootstrap stage stacks (also paying
+        # their compiles outside the timed loop), then drop the rest.
+        import jax as _jax
+
+        t0 = time.perf_counter()
+        fe_elts = eng.eng.warm_stacks()
+        boot_elts = bt.galois_elements() if bt is not None else set()
+        nd = ctx.drop_galois_keys(drop=fe_elts - boot_elts)
+        log(f"warm/free: FE stack built, {nd} raw BSGS keys dropped "
+            f"({time.perf_counter() - t0:.1f}s)")
+        if bt is not None:
+            t0 = time.perf_counter()
+            ct_w = ctx.mod_switch_to(
+                ctx.encrypt_replicated(np.zeros(d)), 2)
+            import jax
+
+            jax.block_until_ready(bt.bootstrap(ct_w).c)
+            nd = ctx.drop_galois_keys()
+            log(f"warm/free: dummy refresh done, {nd} raw keys dropped "
+                f"({time.perf_counter() - t0:.1f}s)")
 
     # --- run passes -------------------------------------------------------
     all_stats = []

@@ -209,6 +209,18 @@ class Bootstrapper:
 
     # -- helpers -----------------------------------------------------------
 
+    def galois_elements(self) -> set:
+        """Union of every stage engine's rotation-key elements (the
+        conjugation key is NOT included — ctx.conjugate needs it raw).
+        Used with warm + CkksContext.drop_galois_keys to cut the deep
+        fe24boot config's resident raw-key HBM."""
+        es = set()
+        engines = ([g.eng for g in self._c2s_f + self._s2c_f]
+                   if self.radix else [self.eng])
+        for e in engines:
+            es |= e.galois_elements()
+        return es
+
     def _encode_pair(self, m1, m2):
         """Encode two matrices at a shared power-of-two scale chosen so the
         largest diagonal coefficient sits near 2^28 (int32-representable)."""

@@ -422,6 +422,32 @@ class CkksContext:
         """Active keyswitch digits at level l (= l for single-limb digits)."""
         return -(-l // self.gsize)
 
+    def drop_galois_keys(self, drop=None, keep=()) -> int:
+        """Free raw per-element Galois keys (the HBM price of a deep
+        bootstrap config: at N=16384/L=46/dnum=6 the ~200 raw keys are
+        ~9 GB, resident NEXT TO their stacked engine copies — the 17.2 GB
+        that kept fe24boot off one v5e, docs/NOTES_r4.md).  Call after
+        every engine's warm_stacks(); kernels evaluate from the stacks
+        only.  The conjugation key (element 2n-1) is always kept —
+        ctx.conjugate reads it directly at runtime — plus anything in
+        `keep`.  drop=None drops everything else; otherwise only the
+        given elements.  A later ensure_galois for a dropped element
+        regenerates it (fresh randomness: functionally equivalent, not
+        bitwise).  Returns the number of keys dropped."""
+        always_keep = set(keep) | {2 * self.n - 1}
+        elts = list(self.galois_keys.keys()) if drop is None else list(drop)
+        n_drop = 0
+        for g in elts:
+            if g in always_keep or g not in self.galois_keys:
+                continue
+            del self.galois_keys[g]
+            n_drop += 1
+        # cached jitted rotate/hoisted closures bake key tensors in as
+        # constants; drop them so the arrays can actually be freed
+        for name in ("_j_rotate", "_j_hoisted"):
+            getattr(type(self), name).cache_clear()
+        return n_drop
+
     def identity_ksk(self) -> KeySwitchKey:
         """Keyswitch key for s -> s (the identity rotation).  Used where a
         stacked-rotation kernel meets a step whose Galois element is 1

@@ -148,6 +148,21 @@ class BsgsMatvec:
         ctx.ensure_galois(self.baby_steps + self.giant_steps)
         self._xs_cache: dict = {}
 
+    def galois_elements(self) -> set:
+        """Galois elements of this engine's rotation steps (for
+        CkksContext.drop_galois_keys after warm_stacks)."""
+        return {self.ctx.galois_element(s)
+                for s in self.baby_steps + self.giant_steps}
+
+    def warm_stacks(self, levels=("full",)) -> set:
+        """Build (and materialize) the stacked key tensors now, so the
+        raw per-element keys can be dropped (drop_galois_keys) before the
+        memory-peak phase of a deep run.  With full_key_stacks the single
+        "full" stack covers every level.  Returns galois_elements()."""
+        for l in levels:
+            self._xs("full" if self.full_key_stacks else l)
+        return self.galois_elements()
+
     # -- host-side diagonal pre-encoding (reference pre_encode_block) ------
 
     def encode(self, w: np.ndarray, scale: float | None = None
@@ -261,6 +276,7 @@ class BsgsMatvec:
                 return (jnp.asarray(perms), kbs, kas)
 
             xs = stack_keys(self.baby_steps) + stack_keys(self.giant_steps)
+            jax.block_until_ready(xs[1])
             if os.environ.get("FHE_XS_LOG") == "1":
                 jax.block_until_ready(xs[1])
                 print(f"  [xs] level-{l} key-stack gather: "
