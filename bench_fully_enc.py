@@ -193,8 +193,10 @@ def main():
         # their compiles outside the timed loop), then drop the rest.
         import jax as _jax
 
+        from fhe_spear_tpu.utils.retry import retry_transient
+
         t0 = time.perf_counter()
-        fe_elts = eng.eng.warm_stacks()
+        fe_elts = retry_transient(eng.eng.warm_stacks, log_fn=log)
         boot_elts = bt.galois_elements() if bt is not None else set()
         nd = ctx.drop_galois_keys(drop=fe_elts - boot_elts)
         log(f"warm/free: FE stack built, {nd} raw BSGS keys dropped "
@@ -205,7 +207,9 @@ def main():
                 ctx.encrypt_replicated(np.zeros(d)), 2)
             import jax
 
-            jax.block_until_ready(bt.bootstrap(ct_w).c)
+            retry_transient(
+                lambda: jax.block_until_ready(bt.bootstrap(ct_w).c),
+                log_fn=log)
             nd = ctx.drop_galois_keys()
             log(f"warm/free: dummy refresh done, {nd} raw keys dropped "
                 f"({time.perf_counter() - t0:.1f}s)")

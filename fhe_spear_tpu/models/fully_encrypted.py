@@ -426,7 +426,9 @@ def run_fully_encrypted(ctx: CkksContext, w_keys, w_vals, x0,
                     say(f"  out of levels at block {b} (level={ct.level})")
                 break
             t0 = time.perf_counter()
-            ct = bootstrap_fn(ct)
+            from ..utils.retry import retry_transient
+
+            ct = retry_transient(bootstrap_fn, ct, log_fn=say)
             # exact-mode blocks assume tag == true scale == ctx.scale; a
             # refresh landing off-scale must be adjusted exactly (a retag
             # deviation compounds through each block's CT-CT square —
@@ -474,8 +476,13 @@ def run_fully_encrypted(ctx: CkksContext, w_keys, w_vals, x0,
         else:
             host = eng.encode_block(np.asarray(wk), np.asarray(wv),
                                     level=ct.level)
-        ct = eng(ct, eng.load_block(host, ct.level))
-        jax.block_until_ready(ct.c)
+        from ..utils.retry import retry_transient
+
+        def _block_step():
+            out = eng(ct, eng.load_block(host, ct.level))
+            jax.block_until_ready(out.c)
+            return out
+        ct = retry_transient(_block_step, log_fn=say)
         dt = time.perf_counter() - t0
         dec = ctx.decrypt_vec(ct, d)
         corr = float(np.corrcoef(dec, refs[b + 1])[0, 1])
