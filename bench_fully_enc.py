@@ -227,7 +227,15 @@ def main():
         all_stats.append(stats)
 
     final = all_stats[-1]
-    per_block = float(np.mean([s["sec"] for s in final]))
+    # steady-state per-block: the tunnel stalls for 10-20 min roughly
+    # once an hour (docs/NOTES_r5.md) and a stall lands inside ONE
+    # block's timer — with >= 2 measurement passes, the per-block MIN
+    # across passes is a stall-robust steady estimate (every block's
+    # min is a genuinely observed end-to-end time)
+    measure = all_stats[1:] if len(all_stats) > 1 else all_stats
+    per_block_min = [min(ps[i]["sec"] for ps in measure)
+                     for i in range(len(final))]
+    per_block = float(np.mean(per_block_min))
     min_corr = min(s["corr"] for s in final)
     max_err = max(s["max_err"] for s in final)
     n_boot = final[-1]["bootstraps"] if final else 0
@@ -247,6 +255,10 @@ def main():
             "max_err": max_err,
             "bootstraps": n_boot,
             "final_level": final[-1]["level"] if final else None,
+            "per_block_min_s": [round(s, 2) for s in per_block_min],
+            "per_pass_mean_s": [round(float(np.mean([s["sec"] for s in ps])),
+                                      2) for ps in all_stats],
+            "stat": "mean of per-block min across measurement passes",
         },
     }))
 

@@ -419,6 +419,7 @@ def run_fully_encrypted(ctx: CkksContext, w_keys, w_vals, x0,
     stats = []
     n_boot = 0
     say = log_fn if log_fn else (print if verbose else None)
+    _pf: dict = {"thread": None, "staged": None}   # one-slot prefetcher
     for b, (wk, wv) in enumerate(zip(w_keys, w_vals)):
         if ct.level - 1 < min_levels:
             if bootstrap_fn is None:
@@ -478,8 +479,38 @@ def run_fully_encrypted(ctx: CkksContext, w_keys, w_vals, x0,
                                     level=ct.level)
         from ..utils.retry import retry_transient
 
+        # consume a prefetched staging if it matches this block+level
+        staged = None
+        if _pf["thread"] is not None:
+            _pf["thread"].join()
+            _pf["thread"] = None
+            if _pf.get("block") == b and _pf.get("level") == ct.level:
+                staged = _pf.get("staged")
+            _pf["staged"] = None
+        if staged is None:
+            staged = eng.load_block(host, ct.level)
+
+        # prefetch block b+1's staging on a thread while this block
+        # computes: the ~543 MB/block i32 diagonal transfer through the
+        # tunnel relay is ~half the steady s/block (BENCH_LOCAL_r5_fe19);
+        # H2D DMA overlaps TPU compute
+        if pre_encoded is not None and b + 1 < len(pre_encoded):
+            nh = pre_encoded[b + 1]
+            nl = nh.get("level")
+            if nl is not None and nl == ct.level - 3 * eng.width:
+                import threading
+
+                def _pre(nh=nh, nl=nl, nb=b + 1):
+                    try:
+                        _pf["staged"] = eng.load_block(nh, nl)
+                        _pf["block"], _pf["level"] = nb, nl
+                    except Exception:
+                        _pf["staged"] = None
+                _pf["thread"] = threading.Thread(target=_pre, daemon=True)
+                _pf["thread"].start()
+
         def _block_step():
-            out = eng(ct, eng.load_block(host, ct.level))
+            out = eng(ct, staged)
             jax.block_until_ready(out.c)
             return out
         ct = retry_transient(_block_step, log_fn=say)
