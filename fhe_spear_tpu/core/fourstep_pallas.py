@@ -94,6 +94,8 @@ def ntt_fourstep_pallas(fs, x, rows=None, dot_impl: str = "f32",
     """
     if variant == "2d":
         return _ntt_fourstep_pallas_2d(fs, x, rows, dot_impl, interpret)
+    if variant == "2dio":
+        return _ntt_fourstep_pallas_2dio(fs, x, rows, dot_impl, interpret)
     import numpy as np
 
     r, bsz, n = x.shape
@@ -217,3 +219,68 @@ def _ntt_fourstep_pallas_2d(fs, x, rows=None, dot_impl: str = "f32",
         interpret=interpret,
     )(x, psi2, w1_8, w2_8, tw, csh[:, None, :], p[:, None, None],
       pinv[:, None, None])
+
+
+def _ntt_fourstep_pallas_2dio(fs, x, rows=None, dot_impl: str = "f32",
+                              interpret: bool = False):
+    """Rank-4-I/O body: the real-TPU Mosaic failure of the 2d variant is
+    the in-kernel 1-D -> 2-D vector reshape of the input row
+    ("infer-vector-layout: unsupported shape cast" on
+    vector<1x1x8192xi32> -> vector<128x64xi32>, measured 2026-08-21,
+    docs/NOTES_r5.md).  Here the [n1, n2] split happens OUTSIDE the
+    kernel (an XLA reshape is free) and the refs are rank-4, so the
+    kernel body contains only 2-D elementwise ops, 2-D matmuls, grid-
+    block slices and ONE 2-D transpose — no vector shape casts at all.
+    Output ref is [R, B, n2, n1]; the natural four-step bin order
+    k = k2*n1 + k1 is its row-major flatten, done by the caller."""
+    import numpy as np
+
+    r, bsz, n = x.shape
+    n1, n2 = fs.n1, fs.n2
+    sel = lambda t: np.asarray(t) if rows is None else np.asarray(t)[
+        np.asarray(rows, dtype=np.int32)]
+    psi2 = jnp.asarray(sel(fs.base.psi)).reshape(r, n1, n2)
+    w1_8 = jnp.asarray(sel(fs.w1_8)).reshape(r, 5 * n1, n1)
+    w2_8 = jnp.asarray(sel(fs.w2_8)).reshape(r, 5 * n2, n2)
+    tw = jnp.asarray(sel(fs.tw))                     # [R, N1, N2]
+    csh = jnp.asarray(sel(fs.csh))                   # [R, 9]
+    p = jnp.asarray(fs._sel_np(rows, "p"))[:, 0]     # [R]
+    pinv = jnp.asarray(fs._sel_np(rows, "pinv"))[:, 0]
+
+    def kernel(x_ref, psi_ref, w1_ref, w2_ref, tw_ref, csh_ref, p_ref,
+               pinv_ref, out_ref):
+        pq = p_ref[0, 0, 0]
+        piv = pinv_ref[0, 0, 0]
+        cs = csh_ref[0, 0]
+        for b in range(bsz):
+            v = x_ref[0, b]                              # [n1, n2], no cast
+            v = mont_mul(v, psi_ref[0], pq, piv)         # twist
+            a = _recombine(_limb_dot(w1_ref[0], v, dot_impl, flat=True),
+                           cs, pq, piv, flat_mj=(n1, n2))
+            a = mont_mul(a, tw_ref[0], pq, piv)          # twiddle [n1, n2]
+            at = a.T                                     # [n2, n1]
+            bb = _recombine(_limb_dot(w2_ref[0], at, dot_impl, flat=True),
+                            cs, pq, piv, flat_mj=(n2, n1))
+            out_ref[0, b] = bb                           # [n2, n1]
+    grid = (r,)
+    row3 = lambda i: (i, 0, 0)
+    row4 = lambda i: (i, 0, 0, 0)
+    out4 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bsz, n1, n2), row4),     # x as [.., n1, n2]
+            pl.BlockSpec((1, n1, n2), row3),          # psi (2-D per limb)
+            pl.BlockSpec((1, 5 * n1, n1), row3),      # w1 limbs
+            pl.BlockSpec((1, 5 * n2, n2), row3),      # w2 limbs
+            pl.BlockSpec((1, n1, n2), row3),          # twiddle
+            pl.BlockSpec((1, 1, 9), row3),            # csh
+            pl.BlockSpec((1, 1, 1), row3),            # p
+            pl.BlockSpec((1, 1, 1), row3),            # pinv
+        ],
+        out_specs=pl.BlockSpec((1, bsz, n2, n1), row4),
+        out_shape=jax.ShapeDtypeStruct((r, bsz, n2, n1), jnp.uint32),
+        interpret=interpret,
+    )(x.reshape(r, bsz, n1, n2), psi2, w1_8, w2_8, tw, csh[:, None, :],
+      p[:, None, None], pinv[:, None, None])
+    return out4.reshape(r, bsz, n)                    # k = k2*n1 + k1

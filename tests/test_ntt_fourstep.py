@@ -107,7 +107,7 @@ def test_mxu_backend_context_ops():
 
 
 @pytest.mark.parametrize("dot_impl", ["f32", "int8"])
-@pytest.mark.parametrize("variant", ["3d", "2d"])
+@pytest.mark.parametrize("variant", ["3d", "2d", "2dio"])
 def test_fourstep_pallas_bitwise(ctx, dot_impl, variant):
     """Fused Pallas four-step kernel (interpret mode) bitwise-equal to the
     XLA MXU path; the 2d variant is the Mosaic-friendly body (2-D matmuls

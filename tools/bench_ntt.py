@@ -97,12 +97,24 @@ def main():
         log(f"pallas[stockham_fused] failed: {e}")
 
     # Pallas fused four-step (twist+DFTs+twiddle in VMEM) — optional:
-    # report per dot_impl if Mosaic compiles it on this backend
+    # report per dot_impl if Mosaic compiles it on this backend.
+    # NTT_BSZ batches the pallas transforms per limb row ([R, B, N]) and
+    # measures the Stockham chain on the same [B, R, N] workload — the
+    # production kernels transform G*chunk-row batches, so batched is the
+    # representative comparison; times are reported per [R, N] batch.
     from fhe_spear_tpu.core.fourstep_pallas import ntt_fourstep_pallas
 
-    xb = x[:, None, :]                                  # [R, 1, N]
+    bsz = int(os.environ.get("NTT_BSZ", "1"))
+    if bsz > 1:
+        xs_b = jnp.tile(x[None], (bsz, 1, 1))           # [B, R, N]
+        j_stock_b = jax.jit(lambda v: ntt.ntt(v, rows))
+        t_stock_b = bench(j_stock_b, arg=xs_b) / bsz
+        log(f"stockham batched[{bsz}] {t_stock_b*1e3:.3f} ms per [R,N]")
+    else:
+        t_stock_b = t_stock
+    xb = jnp.tile(x[:, None, :], (1, bsz, 1))           # [R, B, N]
     for impl in ("f32", "int8"):
-        for variant in ("3d", "2d"):
+        for variant in ("3d", "2d", "2dio"):
             key = impl if variant == "3d" else f"{impl}_{variant}"
             try:
                 j_pal = jax.jit(
@@ -113,9 +125,10 @@ def main():
                 # ntt_mxu); compare via the same bitrev permutation
                 assert np.array_equal(got_p[..., bitrev_indices(n)], want), (
                     f"pallas {key} mismatch")
-                t_pal = bench(lambda v: j_pal(v), arg=xb)
+                t_pal = bench(lambda v: j_pal(v), arg=xb) / bsz
                 pallas_ms[key] = round(t_pal * 1e3, 4)
-                log(f"pallas[{key}] {t_pal*1e3:.3f} ms (bitwise-equal)")
+                log(f"pallas[{key}] {t_pal*1e3:.3f} ms per [R,N] "
+                    f"(bitwise-equal, bsz={bsz})")
             except Exception as e:  # Mosaic/backend-specific: report
                 pallas_ms[key] = f"unavailable: {type(e).__name__}: {e}"[:200]
                 log(f"pallas[{key}] failed: {e}")
@@ -126,8 +139,10 @@ def main():
         "unit": "ms (four-step MXU)",
         "vs_baseline": round(t_stock / t_mxu, 3),
         "detail": {"stockham_ms": round(t_stock * 1e3, 4),
+                   "stockham_batched_ms": round(t_stock_b * 1e3, 4),
                    "mxu_ms": round(t_mxu * 1e3, 4),
                    "pallas_ms": pallas_ms,
+                   "bsz": bsz,
                    "n1": n1, "bitwise_equal": True},
     }))
 
