@@ -16,8 +16,11 @@ import time
 
 __all__ = ["retry_transient", "is_transient"]
 
+# transport drops only — an HTTP 500 from the compile endpoint means the
+# compile RAN and failed (e.g. a genuine HBM OOM shows as "HTTP 500:
+# tpu_compile_helper subprocess exit code 1" with the real error only in
+# the terminal log); retrying those wastes attempts and hides the cause
 _TRANSIENT_MARKERS = (
-    "remote_compile",
     "response body closed",
     "read body",
     "connection reset",

@@ -34,8 +34,8 @@ few2)
   # width-2 at 12 blocks: L = 6*12+3 = 75 limbs, K=8 -> dnum 10
   step few2 BENCH_D=2048 BENCH_F=8192 BENCH_N=8192 BENCH_BLOCKS=12 \
     BENCH_WIDTH_CHAIN=2 BENCH_PASSES=2 BENCH_SPECIAL=12 BENCH_DNUM=10 \
-    FHE_WARM_FREE=1 \
-    FHE_GIANT_CHUNK=4 FHE_BABY_CHUNK=16 FHE_XS_CACHE=1 FHE_COMPILE_CACHE=0 \
+    FHE_WARM_FREE=1 FHE_CONTRACT_LAYOUT=lead \
+    FHE_GIANT_CHUNK=2 FHE_BABY_CHUNK=8 FHE_XS_CACHE=1 FHE_COMPILE_CACHE=0 \
     python bench_fully_enc.py
   ;;
 boot16k)
