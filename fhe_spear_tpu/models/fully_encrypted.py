@@ -494,7 +494,11 @@ def run_fully_encrypted(ctx: CkksContext, w_keys, w_vals, x0,
         # computes: the ~543 MB/block i32 diagonal transfer through the
         # tunnel relay is ~half the steady s/block (BENCH_LOCAL_r5_fe19);
         # H2D DMA overlaps TPU compute
-        if pre_encoded is not None and b + 1 < len(pre_encoded):
+        # FHE_PREFETCH=0 disables the overlap (the prefetched block is a
+        # second ~0.5-2 GB staging resident — too much for HBM-saturated
+        # configs like the N=16384 bootstrap chain)
+        if (pre_encoded is not None and b + 1 < len(pre_encoded)
+                and os.environ.get("FHE_PREFETCH", "1") == "1"):
             nh = pre_encoded[b + 1]
             nl = nh.get("level")
             if nl is not None and nl == ct.level - 3 * eng.width:
